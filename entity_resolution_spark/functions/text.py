@@ -1,0 +1,141 @@
+"""Text/code tokenization, shingling and text-analysis column functions.
+
+These are the code-domain analog of the reference's "visitor" feature extractors
+(``am_combiner/features/common.py:65-136`` — spaCy NER → token sets;
+``am_combiner/features/vectorisation.py:18-66`` — TF-IDF text vectorizer): for source
+code the features are identifier/word tokens, k-token shingles, and cheap quality /
+language heuristics. Everything is a pure Column expression (JVM-side, codegen'd);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokens: lowercase alnum/underscore runs. Matches the "sorted lowercase token set"
+# normalization the reference applies before comparisons (features/common.py:282-298).
+_TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word/identifier tokens of a text column (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    """Sorted distinct token set — deterministic representation for set-similarity."""
+    return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def shingles(tok: Column, k: int = 5) -> Column:
+    """k-token shingles (space-joined sliding windows) over a token array.
+
+    Documents shorter than k tokens contribute their whole token sequence as one
+    shingle, so short files still block/compare.
+    """
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    )
+    return F.when(F.size(tok) >= k, windows).otherwise(
+        F.when(F.size(tok) > 0, F.array(F.concat_ws(" ", tok))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def distinct_shingles(col: Column | str, k: int = 5) -> Column:
+    return F.array_distinct(shingles(tokens(col), k))
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis functions for a training-data pipeline (documents table).
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (cheap proxy used for quality filters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def word_like_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: alnum runs + standalone punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != F.lit("")))
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    return (words + punct).cast("long")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Cheap document-quality signals: length, punctuation ratio, stopword ratio,
+    mean word length, uppercase ratio. All pure SQL expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    toks = tokens(c)
+    stopwords = F.array(*[F.lit(w) for w in (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "as", "with", "was", "be", "this", "are", "at",
+    )])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stopwords, t)))
+    n_tok = F.size(toks)
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": safe(n_punct, n_chars),
+        "upper_ratio": safe(n_upper, n_alpha),
+        "stopword_ratio": safe(n_stop, n_tok),
+        "mean_token_len": safe(F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double"), n_tok),
+    }
+
+
+# n-gram language-ID heuristic: score against tiny per-language marker lexicons.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "de", "et", "est", "pas", "pour", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "por", "con"],
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language id: argmax of marker-token hit counts, 'unknown' if no hits.
+
+    Ties break by fixed language order (deterministic).
+    """
+    toks = tokens(col)
+    scores = []
+    for lang_code, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append((lang_code, score))
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang_code, score in reversed(scores):
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang_code)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def path_stem(col: Column | str) -> Column:
+    """Basename without extension, lowercased — the 'entity name' analog for files."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = F.element_at(F.split(c, "/"), -1)
+    return F.lower(F.regexp_replace(base, r"\.[^.]*$", ""))
+
+
+def path_tokens(col: Column | str) -> Column:
+    """Normalized path tokens: split stem on non-alnum + digit-strip, distinct-sorted.
+
+    One of the exact blocking keys mandated by the north rule ("normalized path
+    tokens"); strips version suffixes like ``_v3`` so renamed copies share a key.
+    """
+    stem = path_stem(col)
+    raw = F.split(F.regexp_replace(stem, r"[0-9]+", ""), r"[^a-z]+")
+    return F.array_sort(F.array_distinct(F.filter(raw, lambda t: t != F.lit(""))))

@@ -1,0 +1,115 @@
+"""Pairwise scoring inside blocks: feature vectors → logistic scorer → match edges.
+
+Reference semantics being reproduced:
+- TF-IDF cosine as the main signal (``am_combiner/combiners/tfidf.py:199-217``);
+- auxiliary set-intersection boost joined with the cosine edge
+  (``am_combiner/combiners/tfidf.py:318-353``);
+- a logistic model fusing per-pair features into one probability
+  (``am_combiner/combiners/ml.py:237-271`` — 2-feature logistic fusion;
+  ``ml.py:274-345`` — pairwise classifier over stacked vectors);
+- thresholding into an adjacency (``am_combiner/combiners/tfidf.py:243-259``) and the
+  large-block threshold bump (+0.02 over 400 records, ``ml.py:27-28,160-187``).
+
+Spark design: the candidate-pair DataFrame joins the per-record feature table twice
+(shuffle on id both times — at scale, bucket the feature table by unique_id so both
+probes co-locate without reshuffling); all set/string features are JVM expressions;
+only the sparse-cosine and Jaro-Winkler run as Arrow-batched pandas UDFs; the
+logistic fusion itself is a plain SQL expression (sigmoid of a dot product), so the
+scorer adds zero Python overhead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.strings import jaro_winkler_udf, levenshtein_sim
+from entity_resolution_spark.functions.vectors import array_jaccard, cosine_sorted_udf
+
+# Feature columns produced by build_pair_features, in scorer order.
+PAIR_FEATURES = ["cosine", "jaccard", "jw_stem", "lev_stem", "same_lang", "exact"]
+
+
+@dataclass(frozen=True)
+class ScorerWeights:
+    """Logistic coefficients over PAIR_FEATURES (fit offline on synthetic labeled
+    pairs with tools/fit_scorer.py; defaults validated by the e2e F1 test)."""
+    bias: float = -7.0
+    weights: tuple[float, ...] = (9.0, 5.0, 1.0, 1.0, 1.0, 20.0)
+    threshold: float = 0.5
+    large_block_bump: float = 0.02   # ref: +0.02 over 400 records
+    large_block_size: int = 400
+
+
+def build_pair_features(
+    pairs: DataFrame,
+    features: DataFrame,
+    vectors: DataFrame,
+) -> DataFrame:
+    """pairs(id_a, id_b, is_exact) ⋈ features ⋈ vectors → per-pair feature columns.
+
+    ``features``: unique_id, lang, content_sha, stem, shingles (distinct), n_tokens.
+    ``vectors``:  unique_id, terms, weights (from tfidf_vectors).
+    """
+    feat = features.join(vectors, "unique_id", "left").select(
+        "unique_id", "lang", "content_sha", "stem", "shingles", "terms", "weights"
+    )
+    a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
+    b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
+    p = (
+        pairs.join(a, pairs["id_a"] == a["unique_id_a"])
+        .join(b, pairs["id_b"] == b["unique_id_b"])
+    )
+    return p.select(
+        "id_a",
+        "id_b",
+        cosine_sorted_udf("terms_a", "weights_a", "terms_b", "weights_b").alias("cosine"),
+        array_jaccard(F.col("shingles_a"), F.col("shingles_b")).alias("jaccard"),
+        jaro_winkler_udf("stem_a", "stem_b").alias("jw_stem"),
+        levenshtein_sim(F.col("stem_a"), F.col("stem_b")).alias("lev_stem"),
+        (F.col("lang_a") == F.col("lang_b")).cast("double").alias("same_lang"),
+        (
+            F.col("is_exact") | (F.col("content_sha_a") == F.col("content_sha_b"))
+        ).cast("double").alias("exact"),
+    )
+
+
+def logistic_score(pair_features: DataFrame, w: ScorerWeights | None = None) -> DataFrame:
+    """sigmoid(bias + w·f) as a pure SQL expression → (id_a, id_b, score)."""
+    w = w or ScorerWeights()
+    z = F.lit(w.bias)
+    for coef, name in zip(w.weights, PAIR_FEATURES):
+        z = z + F.lit(coef) * F.coalesce(F.col(name), F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return pair_features.select("id_a", "id_b", *PAIR_FEATURES, score.alias("score"))
+
+
+def match_edges(
+    scored: DataFrame,
+    w: ScorerWeights | None = None,
+    block_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Threshold scored pairs into match edges; optional large-block threshold bump.
+
+    ``block_sizes``: optional (unique_id, block_n) — max block size a record appears
+    in; pairs where either side sits in a block over ``large_block_size`` need a
+    score above ``threshold + large_block_bump`` (the reference's anti-
+    overcombination guard for crowded names).
+    """
+    w = w or ScorerWeights()
+    th = F.lit(w.threshold)
+    if block_sizes is not None:
+        bs_a = block_sizes.select(
+            F.col("unique_id").alias("id_a"), F.col("block_n").alias("_bn_a")
+        )
+        bs_b = block_sizes.select(
+            F.col("unique_id").alias("id_b"), F.col("block_n").alias("_bn_b")
+        )
+        scored = scored.join(bs_a, "id_a", "left").join(bs_b, "id_b", "left")
+        big = (
+            F.coalesce(F.greatest("_bn_a", "_bn_b"), F.lit(0)) > w.large_block_size
+        )
+        th = th + F.when(big, F.lit(w.large_block_bump)).otherwise(F.lit(0.0))
+    return scored.where(F.col("score") > th).select("id_a", "id_b", "score")

@@ -1,0 +1,168 @@
+"""The end-to-end entity-resolution pipeline.
+
+Stage DAG (each stage optionally checkpointed, mirrors the reference's
+load → extract → block → combine → store flow, ``README.md:113-122``):
+
+  repo_files ──► features ──► block assignments ──► candidate pairs
+        │            │                                  │
+        │            └── tfidf vectors ─────────────────┤
+        │                                               ▼
+        │                                     pair features → scores
+        │                                               ▼
+        │                                    match edges (threshold, splitter)
+        │                                               ▼
+        └────────────────────────────► clusters (connected components)
+
+Every record keeps ``content_sha`` from the first stage; the final output re-joins
+it so the sha256 integrity invariant is auditable end-to-end (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions import text as TX
+from entity_resolution_spark.functions.hashing import (
+    content_sha,
+    rolling_fingerprints,
+    unique_id,
+)
+from entity_resolution_spark.functions.vectors import tfidf_vectors
+from entity_resolution_spark.operators.blocking import BlockingConfig, block_assignments
+from entity_resolution_spark.operators.components import connected_components
+from entity_resolution_spark.operators.pairs import candidate_pairs
+from entity_resolution_spark.operators.scoring import (
+    ScorerWeights,
+    build_pair_features,
+    logistic_score,
+    match_edges,
+)
+from entity_resolution_spark.operators.splitters import apply_negative_edge_splitter
+from entity_resolution_spark.plans.checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineConfig:
+    shingle_k: int = 5
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scorer: ScorerWeights = field(default_factory=ScorerWeights)
+    min_df: int = 1
+    max_df_frac: float = 1.0
+    use_splitter: bool = True        # negative-evidence: lang mismatch breaks edges
+
+
+def extract_features(repo_files: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The visitor stage: derive ids + typed feature columns, never touching content.
+
+    (Reference: visitors mutate Article objects in place,
+    ``am_combiner/features/frontend.py:24-43``; here each feature is a column and
+    ``content`` itself is only read, never rewritten — the sha256 invariant.)
+    """
+    toks = TX.tokens(F.col("content"))
+    return repo_files.select(
+        unique_id().alias("unique_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        content_sha().alias("content_sha"),
+        TX.path_stem("path").alias("stem"),
+        TX.path_tokens("path").alias("path_toks"),
+        F.array_distinct(TX.shingles(toks, cfg.shingle_k)).alias("shingles"),
+        rolling_fingerprints(toks).alias("fingerprints"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def resolve(
+    spark,
+    repo_files: DataFrame,
+    cfg: PipelineConfig | None = None,
+    store: CheckpointStore | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns every stage DataFrame keyed by stage name.
+
+    With a ``CheckpointStore``, each stage is written (Iceberg-style) and re-read, and
+    a re-run after a crash resumes from the last completed stage (input-signature
+    guarded) — the reference's cache-resume pattern generalized.
+    """
+    cfg = cfg or PipelineConfig()
+    sig = "v1"  # bumped when pipeline logic changes; a content hash at production scale
+
+    def stage(name: str, compute):
+        if store is not None:
+            return store.get_or_compute(name, compute, input_signature=sig)
+        # no store: cache the stage so downstream actions don't recompute the DAG
+        return compute().persist()
+
+    features = stage("features", lambda: extract_features(repo_files, cfg))
+    vectors = stage(
+        "vectors",
+        lambda: tfidf_vectors(
+            features, "unique_id", "shingles", cfg.min_df, cfg.max_df_frac
+        ),
+    )
+    assignments = stage(
+        "assignments", lambda: block_assignments(features, cfg.blocking)
+    )
+    pairs = stage("candidate_pairs", lambda: candidate_pairs(assignments))
+
+    def compute_edges():
+        pf = build_pair_features(pairs, features, vectors)
+        scored = logistic_score(pf, cfg.scorer)
+        block_sizes = (
+            assignments.groupBy("block_key")
+            .agg(F.count("*").alias("_n"))
+            .join(assignments, "block_key")
+            .groupBy("unique_id")
+            .agg(F.max("_n").alias("block_n"))
+        )
+        edges = match_edges(scored, cfg.scorer, block_sizes)
+        if cfg.use_splitter:
+            edges = apply_negative_edge_splitter(edges, features)
+        return edges
+
+    edges = stage("match_edges", compute_edges)
+
+    def compute_clusters():
+        labels = connected_components(
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        all_ids = features.select("unique_id", "lang", "content_sha")
+        return (
+            all_ids.join(labels, all_ids["unique_id"] == labels["id"], "left")
+            .select(
+                "unique_id",
+                "lang",
+                "content_sha",
+                F.coalesce(F.col("component"), F.col("unique_id")).alias("cluster_rep"),
+            )
+            .withColumn("cluster_id", F.xxhash64("cluster_rep"))
+        )
+
+    clusters = stage("clusters", compute_clusters)
+    return {
+        "features": features,
+        "vectors": vectors,
+        "assignments": assignments,
+        "pairs": pairs,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def audit_content_sha(repo_files: DataFrame, clusters: DataFrame) -> int:
+    """The per-row integrity check: every input row's sha256(content) must appear
+    unchanged on its output row. Returns the number of violations (0 == pass)."""
+    expected = repo_files.select(
+        unique_id().alias("unique_id"), content_sha().alias("expected_sha")
+    )
+    joined = expected.join(clusters, "unique_id", "full")
+    return joined.where(
+        F.col("expected_sha").isNull()
+        | F.col("content_sha").isNull()
+        | (F.col("expected_sha") != F.col("content_sha"))
+    ).count()
