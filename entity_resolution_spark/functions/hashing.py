@@ -74,8 +74,9 @@ def simhash64(exploded_value: Column, weight: Column | None = None) -> Column:
     """
     w = weight if weight is not None else F.lit(1)
     h = F.xxhash64(exploded_value)
+    one = F.lit(1).cast("long")
     bit_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, w).otherwise(-w)).alias(f"b{i}")
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, w).otherwise(-w)).alias(f"b{i}")
         for i in range(64)
     ]
     # caller folds: use simhash_fold() on the 64 aggregated columns
@@ -83,10 +84,15 @@ def simhash64(exploded_value: Column, weight: Column | None = None) -> Column:
 
 
 def simhash_fold(prefix: str = "b") -> Column:
-    """Fold the 64 bit-sum columns produced by :func:`simhash64` into one long."""
+    """Fold the 64 bit-sum columns produced by :func:`simhash64` into one long.
+
+    Bit 63 is set via shiftleft (1<<63 overflows a positive long literal)."""
     acc = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     for i in range(64):
-        acc = acc + F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"{prefix}{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
     return acc
 
 

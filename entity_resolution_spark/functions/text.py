@@ -102,25 +102,29 @@ _LANG_MARKERS = {
 }
 
 
+def lang_marker_score(col: Column | str, lang_code: str) -> Column:
+    """Number of tokens (with multiplicity) matching the language's marker lexicon."""
+    toks = tokens(col)
+    marker_arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang_code]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language id: argmax of marker-token hit counts, 'unknown' if no hits.
 
-    Ties break by fixed language order (deterministic).
+    Ties break by fixed priority order en > de > fr > es (the dict order) — the
+    same explicit when-chain the SQL oracle uses, so both engines agree exactly.
     """
-    toks = tokens(col)
-    scores = []
-    for lang_code, markers in _LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
-        scores.append((lang_code, score))
-    best = F.lit("unknown")
-    best_score = F.lit(0)
-    # iterate in reverse so earlier languages win ties
-    for lang_code, score in reversed(scores):
-        cond = score > best_score
-        best = F.when(cond, F.lit(lang_code)).otherwise(best)
-        best_score = F.when(cond, score).otherwise(best_score)
-    return best
+    codes = list(_LANG_MARKERS)
+    scores = {c: lang_marker_score(col, c) for c in codes}
+    expr = F.lit("unknown")
+    for i in range(len(codes) - 1, -1, -1):
+        c = codes[i]
+        cond = scores[c] > 0
+        for later in codes[i + 1:]:
+            cond = cond & (scores[c] >= scores[later])
+        expr = F.when(cond, F.lit(c)).otherwise(expr)
+    return expr
 
 
 def path_stem(col: Column | str) -> Column:

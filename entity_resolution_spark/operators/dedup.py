@@ -1,0 +1,249 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+The same blocking/scoring/CC machinery as the ER pipeline, specialized to the
+common dedup recipes (each one maps to a reference concept noted inline):
+
+- exact (hash-groupBy)               ↔ the reference's sha-style URL dedupe
+                                       (``am_combiner/combiners/common.py:90``)
+- n-gram / token Jaccard pairs       ↔ feature-intersection adjacency
+                                       (``am_combiner/utils/adjacency.py:15-70``)
+- MinHash-LSH near-dup               ↔ blocking + pairwise-similarity-threshold
+- SimHash near-dup                   ↔ same, bit-sketch variant
+- embedding-cosine near-dup          ↔ BERT-vector cosine combiner
+                                       (``am_combiner/combiners/tfidf.py:199-217``)
+
+All operators take/return DataFrames; cluster ids are min-member ids (stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions import text as TX
+from entity_resolution_spark.functions.hashing import band_keys, minhash_signature
+from entity_resolution_spark.functions.vectors import array_jaccard, cosine_array_cols
+from entity_resolution_spark.operators.components import connected_components
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via sha256-groupBy: (id, dup_group = min id with same hash, group_size).
+
+    One shuffle on the hash; at 100 TB this is the cheapest possible dedup pass and
+    runs first so downstream near-dup stages see each distinct text once.
+    """
+    h = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h"))
+    groups = h.groupBy("_h").agg(
+        F.min(id_col).alias("dup_group"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(groups, "_h")
+        .select(F.col(id_col), "dup_group", "group_size")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """All same-block pairs with distinct-token (or token-n-gram) Jaccard ≥ threshold.
+
+    Exact variant (no LSH): within-block self-join — use for small/capped blocks or
+    as the verification pass after LSH candidate generation. JVM-only expressions.
+    """
+    toks = TX.distinct_tokens(F.col(text_col)) if ngram == 1 else F.array_sort(
+        F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), ngram))
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        toks.alias("_toks"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_blk"), F.col("_toks").alias("_toks_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_blk"), F.col("_toks").alias("_toks_b")
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            array_jaccard(F.col("_toks_a"), F.col("_toks_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Jaccard pairs → connected components → (id, cluster = min id of component)."""
+    edges = jaccard_pairs(docs, id_col, text_col, block_col, threshold)
+    vertices = docs.select(F.col(id_col).alias("id"))
+    labels = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        vertices.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Scale path: shingle → MinHash → band-bucket join → verify with true Jaccard.
+
+    The LSH candidate join is the 100 TB-safe path — pair count is bounded by band
+    collisions, not block size². Candidates are then *verified* with the exact
+    Jaccard so the output has no LSH false positives (false negatives bounded by
+    the band schedule: P(miss) = (1-s^r)^b).
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), shingle_k)).alias("_sh"),
+    )
+    sig = (
+        base.select("_id", F.explode("_sh").alias("_v"))
+        .groupBy("_id")
+        .agg(*minhash_signature(F.col("_v"), num_hashes))
+        .select("_id", *band_keys(num_hashes, bands))
+    )
+    stacked = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(b)), F.col(f"band_{b}").cast("string"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    )
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), "_bk")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    toks = base.select("_id", F.col("_sh"))
+    a = toks.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = toks.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", array_jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit Charikar sketch per doc, candidates = docs sharing a
+    16-bit prefix band (4 rotations), verified by Hamming distance ≤ max_hamming.
+
+    The banding trick keeps the join linear: two sketches within Hamming d of each
+    other share at least one of ceil(64/prefix_bits) aligned bands when d <
+    64/prefix_bits; with d ≤ 8 and 4 bands of 16 bits a collision is guaranteed
+    only for d ≤ 3, probabilistic above — documented recall trade-off, mirrored by
+    the verify pass.
+    """
+    from entity_resolution_spark.functions.hashing import hamming64, simhash64, simhash_fold
+
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(TX.distinct_tokens(F.col(text_col))).alias("_t")
+    )
+    bitsums = exploded.groupBy("_id").agg(*simhash64(F.col("_t")))
+    sketch = bitsums.select("_id", simhash_fold().alias("_sim"))
+    n_bands = 64 // prefix_bits
+    banded = sketch.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("_sim"), i * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                        .cast("string"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "_bk")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("_sim_a"),
+            F.col("b._sim").alias("_sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("_sim_a"), F.col("_sim_b")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute within block). JVM zip_with/aggregate
+    dot products — no Python. For the sub-quadratic path see similarity.lsh_ann."""
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        F.col(vec_col).alias("_v"),
+    )
+    a = base.select(F.col("_id").alias("id_a"), "_blk", F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("id_b"), "_blk", F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_array_cols(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

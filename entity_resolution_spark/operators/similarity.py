@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns: brute-force cosine top-k + LSH ANN.
+
+The reference compares dense vectors only pairwise inside blocks (BERT/TF-IDF cosine,
+``am_combiner/combiners/tfidf.py:199-217``); a training-data pipeline additionally
+needs *search*: given probe vectors, the k nearest corpus vectors.
+
+- ``brute_force_topk``: exact — probe × corpus join with JVM ``zip_with`` dot
+  products, window row_number for top-k. O(P·N); right when P is small or as the
+  per-bucket step below.
+- ``lsh_ann_topk``: scale path — random-hyperplane (sign) LSH buckets, probes join
+  only their bucket (multi-probe over B tables), exact rerank inside. Sub-linear
+  candidate volume; recall bounded by table count.
+
+Hyperplanes are seeded from literal constants (deterministic across runs/cluster
+sizes, like FastRP's id-seeded projections, ``am_combiner/combiners/fastRP.py:62-67``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.vectors import cosine_array_cols
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str | None = None,
+) -> DataFrame:
+    """For each probe vector, the k nearest corpus vectors by cosine (excluding self).
+
+    Output: (probe_id, neighbor_id, cosine, rank). Deterministic: ties broken by
+    neighbor id. The corpus side streams; the probe side is broadcast when small.
+    """
+    probe_id_col = probe_id_col or id_col
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_array_cols(F.col("_pv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign_key(vec_col: str, dim: int, n_planes: int, table: int):
+    """Sign-pattern bucket key for one hash table: bit i = sign(v · h_i) where
+    h_i[d] deterministic in (table, plane, d). The pseudo-random plane entries are
+    ±1 derived from a integer hash — computed as SQL expressions (JVM)."""
+    bits = []
+    for p_ in range(n_planes):
+        # h[d] = +1 if hash(table, plane, d) even else -1; dot = Σ v[d]*h[d]
+        dot = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda v, d: F.when(
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(p_), d), 2) == 0, v
+                ).otherwise(-v),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    key = F.lit(table)
+    for b in bits:
+        key = key * 2 + b
+    return key.cast("long")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins, exact rerank within.
+
+    Candidates per probe ≈ N·T/2^planes — tune planes/tables to the corpus size.
+    Output schema matches brute_force_topk (rank may differ where recall < 1).
+    """
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(id_alias),
+                    F.col(vec_col).alias(f"_{id_alias}_v"),
+                    _hyperplane_sign_key(vec_col, dim, n_planes, t).alias("_bucket"),
+                )
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
+
+    cb = bucketed(corpus, "neighbor_id")
+    pb = bucketed(probes, "probe_id")
+    cand = (
+        pb.join(cb, "_bucket")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", "_probe_id_v", "_neighbor_id_v")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            cosine_array_cols(F.col("_probe_id_v"), F.col("_neighbor_id_v")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

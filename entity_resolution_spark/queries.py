@@ -1,0 +1,552 @@
+"""Driver-contract query suite: every operator family exposed as (spark, sf_dir) →
+DataFrame, each with a DuckDB-runnable ANSI-SQL oracle where SQL can express it.
+
+Tables (parquet under sf_dir): region nation customer supplier part orders lineitem
+events documents embeddings.
+
+Column-name discipline: every computed column is aliased identically in the Spark
+plan and the SQL string (the driver sorts columns by name and hashes values).
+Floats that pass through aggregation are rounded to fixed decimals on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions import text as TX
+from entity_resolution_spark.functions.text import _LANG_MARKERS
+from entity_resolution_spark.operators.adjacency import negative_edges_numeric_distance
+from entity_resolution_spark.operators.components import connected_components
+from entity_resolution_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+from entity_resolution_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational parity queries (SURVEY.md §2.8: the aggregation/join/sort patterns
+# the reference actually uses, on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_NATIONS = """
+SELECT n_name,
+       count(*)                        AS n_orders,
+       round(sum(o_totalprice), 2)     AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_SEMIJOIN = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+SQL_TOPK_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+def q_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("w_avg_discount")
+    )
+
+
+SQL_WEIGHTED_AVG_DISCOUNT = """
+SELECT l_returnflag,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS w_avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # the reference's min/max content-length filter (utils/data.py:196-204)
+    return (
+        d.where(F.length("text").between(100, 400))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_len
+FROM documents
+WHERE length(text) BETWEEN 100 AND 400
+GROUP BY lang
+"""
+
+
+def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size histogram over (lang, source) — the blocking skew diagnostic."""
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang", "source").agg(F.count("*").alias("block_size"))
+    return sizes.groupBy("block_size").agg(F.count("*").alias("n_blocks"))
+
+
+SQL_BLOCK_STATS = """
+SELECT block_size, count(*) AS n_blocks
+FROM (SELECT lang, source, count(*) AS block_size FROM documents GROUP BY lang, source)
+GROUP BY block_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis operators over documents
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d).select("doc_id", "dup_group", "group_size")
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS dup_group,
+       count(*) OVER (PARTITION BY h)  AS group_size
+FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+"""
+
+
+def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count("text").cast("long").alias("n_ws_tokens"))
+
+
+SQL_TOKEN_COUNTS_DOCS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_quality_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = TX.quality_features("text")
+    per_doc = d.select(
+        "lang",
+        q["n_tokens"].alias("_nt"),
+        q["stopword_ratio"].alias("_sr"),
+        q["mean_token_len"].alias("_mtl"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_sr"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("_mtl"), 6).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','be','this','are','at')"
+
+SQL_QUALITY_STATS_LANG = f"""
+WITH toks AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), per_doc AS (
+  SELECT lang,
+         len(tk) AS nt,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> t IN {_STOPWORDS_SQL}))::DOUBLE / len(tk)
+              ELSE 0.0 END AS sr,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk)
+              ELSE 0.0 END AS mtl
+  FROM toks
+)
+SELECT lang, sum(nt) AS total_tokens,
+       round(avg(sr), 6) AS avg_stopword_ratio,
+       round(avg(mtl), 6) AS avg_token_len
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_id_sql_case() -> str:
+    codes = list(_LANG_MARKERS)
+    score_exprs = []
+    for c in codes:
+        markers = ",".join(f"'{m}'" for m in _LANG_MARKERS[c])
+        score_exprs.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),"
+            f" t -> t IN ({markers}))) AS s_{c}"
+        )
+    whens = []
+    for i, c in enumerate(codes):
+        conds = [f"s_{c} > 0"] + [f"s_{c} >= s_{later}" for later in codes[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
+    return (
+        "WITH scored AS (SELECT lang, "
+        + ", ".join(score_exprs)
+        + " FROM documents) SELECT lang, CASE "
+        + " ".join(whens)
+        + " ELSE 'unknown' END AS predicted, count(*) AS n_docs"
+        " FROM scored GROUP BY 1, 2"
+    )
+
+
+SQL_LANG_ID_DOCS = _lang_id_sql_case()
+
+
+def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=0.6, ngram=1
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD_PAIRS_DOCS = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.tk, b.tk))::DOUBLE
+             / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+      / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.6
+"""
+
+
+def q_cc_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ≥0.6-jaccard graph — the transitive-closure
+    core, oracled by a recursive-CTE reachability query in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, ngram=1)
+    labels = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        d.select(F.col("doc_id").alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+
+
+SQL_CC_JACCARD_DOCS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.6
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
+def q_negative_edges_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distance negator (reference adjacency.py:161-167) on document length:
+    same-lang pairs whose n_chars differ by more than 300 are negative evidence."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("unique_id"),
+        "lang",
+        F.array(F.col("n_chars")).alias("nc"),
+    )
+    neg = negative_edges_numeric_distance(d, "nc", 300.0, block_col="lang")
+    return neg.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+SQL_NEGATIVE_EDGES_NCHARS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
+WHERE (b.n_chars - a.n_chars > 300) OR (a.n_chars - b.n_chars > 300)
+"""
+
+
+def q_feature_adjacency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-intersection adjacency (§2.3) on a bounded subset: edge weight = number
+    of shared distinct tokens, weight ≥ 25, doc_id < 100."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("string").alias("unique_id"),
+            TX.distinct_tokens("text").alias("toks"),
+        )
+    )
+    from entity_resolution_spark.operators.adjacency import feature_intersection_edges
+
+    e = feature_intersection_edges(d, ["toks"])
+    return e.where(F.col("weight") >= 25).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+SQL_FEATURE_ADJACENCY_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents WHERE doc_id < 100
+), x AS (SELECT doc_id, unnest(tk) AS v FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS weight
+FROM x a JOIN x b ON a.v = b.v AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
+GROUP BY 1, 2
+HAVING count(*) >= 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.where(F.col("vec_id") < 20)
+    return brute_force_topk(e, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 20
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT probe_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_resolution_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup_pairs(e, threshold=0.35).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only checks): hash-sketch dedup, LSH ANN,
+# and the full ER pipeline
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, max_hamming=6)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.where(F.col("vec_id") < 20)
+    return lsh_ann_topk(e, probes, k=5, dim=64, n_planes=6, n_tables=4)
+
+
+def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: full ER pipeline over documents adapted to the mandated input
+    shape (repo=source, path=doc_id.txt, commit=doc_id, lang=lang, content=text)."""
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+
+    d = _t(spark, sf_dir, "documents")
+    repo_files = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    out = resolve(spark, repo_files, PipelineConfig(shingle_k=3))
+    return out["clusters"].select("unique_id", "lang", "content_sha", "cluster_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_nations": q_top_revenue_nations,
+    "order_priority_semijoin": q_order_priority_semijoin,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "weighted_avg_discount": q_weighted_avg_discount,
+    "doc_length_histogram": q_doc_length_histogram,
+    "block_stats": q_block_stats,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts_docs": q_token_counts_docs,
+    "quality_stats_lang": q_quality_stats_lang,
+    "lang_id_docs": q_lang_id_docs,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "cc_jaccard_docs": q_cc_jaccard_docs,
+    "negative_edges_nchars": q_negative_edges_nchars,
+    "feature_adjacency_docs": q_feature_adjacency_docs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "er_resolve_docs": q_er_resolve_docs,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+    "order_priority_semijoin": SQL_ORDER_PRIORITY_SEMIJOIN,
+    "topk_orders_per_priority": SQL_TOPK_ORDERS_PER_PRIORITY,
+    "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
+    "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+    "block_stats": SQL_BLOCK_STATS,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "token_counts_docs": SQL_TOKEN_COUNTS_DOCS,
+    "quality_stats_lang": SQL_QUALITY_STATS_LANG,
+    "lang_id_docs": SQL_LANG_ID_DOCS,
+    "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
+    "cc_jaccard_docs": SQL_CC_JACCARD_DOCS,
+    "negative_edges_nchars": SQL_NEGATIVE_EDGES_NCHARS,
+    "feature_adjacency_docs": SQL_FEATURE_ADJACENCY_DOCS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
+    # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
+}
