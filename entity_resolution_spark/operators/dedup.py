@@ -65,15 +65,25 @@ def jaccard_pairs(
         (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
         toks.alias("_toks"),
     )
+    base = base.withColumn("_n", F.size("_toks"))
     a = base.select(
-        F.col("_id").alias("id_a"), F.col("_blk"), F.col("_toks").alias("_toks_a")
+        F.col("_id").alias("id_a"), F.col("_blk"), F.col("_toks").alias("_toks_a"),
+        F.col("_n").alias("_na"),
     )
     b = base.select(
-        F.col("_id").alias("id_b"), F.col("_blk"), F.col("_toks").alias("_toks_b")
+        F.col("_id").alias("id_b"), F.col("_blk"), F.col("_toks").alias("_toks_b"),
+        F.col("_n").alias("_nb"),
     )
+    # length-ratio prefilter: jaccard ≥ t ⟹ min(|a|,|b|) ≥ t·max(|a|,|b|).
+    # Provably drops no qualifying pair; prunes the quadratic join before the
+    # expensive array_intersect (cheap scalar predicate, whole-stage codegen).
     return (
         a.join(b, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("_na", "_nb").cast("double")
+            >= threshold * F.greatest("_na", "_nb")
+        )
         .select(
             "id_a",
             "id_b",

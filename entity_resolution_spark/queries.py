@@ -445,12 +445,15 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_resolution_spark.operators.dedup import embedding_near_dup_pairs
+    """Exact all-pairs cosine near-dup via blocked BLAS tiles (applyInPandas) —
+    the vectorized replacement for the per-pair HOF cosine baseline
+    (operators.dedup.embedding_near_dup_pairs, kept as the reference semantics)."""
+    from entity_resolution_spark.operators.similarity import blocked_cosine_pairs
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_dup_pairs(e, threshold=0.35).select(
+    return blocked_cosine_pairs(e, threshold=0.35).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
