@@ -57,14 +57,24 @@ def jaccard_pairs(
     Exact variant (no LSH): within-block self-join — use for small/capped blocks or
     as the verification pass after LSH candidate generation. JVM-only expressions.
     """
-    toks = TX.distinct_tokens(F.col(text_col)) if ngram == 1 else F.array_sort(
-        F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), ngram))
-    )
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
-        toks.alias("_toks"),
-    )
+    if ngram == 1:
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+            TX.distinct_tokens(F.col(text_col)).alias("_toks"),
+        )
+    else:
+        # bind tokens to a column before the shingle window-slide (HOF lambdas
+        # re-evaluate embedded child expressions per element)
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+            TX.tokens(F.col(text_col)).alias("_tk"),
+        ).select(
+            "_id",
+            "_blk",
+            F.array_sort(F.array_distinct(TX.shingles(F.col("_tk"), ngram))).alias("_toks"),
+        )
     base = base.withColumn("_n", F.size("_toks"))
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_blk"), F.col("_toks").alias("_toks_a"),
@@ -84,10 +94,21 @@ def jaccard_pairs(
             F.least("_na", "_nb").cast("double")
             >= threshold * F.greatest("_na", "_nb")
         )
+        # |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one array_intersect instead
+        # of intersect + union (≈2× less per-pair work in the quadratic hot loop)
         .select(
             "id_a",
             "id_b",
-            array_jaccard(F.col("_toks_a"), F.col("_toks_b")).alias("jaccard"),
+            F.size(F.array_intersect("_toks_a", "_toks_b")).alias("_i"),
+            F.col("_na"),
+            F.col("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -131,9 +152,13 @@ def minhash_lsh_dup_pairs(
     Jaccard so the output has no LSH false positives (false negatives bounded by
     the band schedule: P(miss) = (1-s^r)^b).
     """
+    # two-step select: bind tokens to a column before the shingle window-slide
+    # (HOF lambdas re-evaluate embedded child expressions per element — see
+    # pipeline.extract_features)
     base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(TX.shingles(TX.tokens(F.col(text_col)), shingle_k)).alias("_sh"),
+        F.col(id_col).alias("_id"), TX.tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        "_id", F.array_distinct(TX.shingles(F.col("_tk"), shingle_k)).alias("_sh")
     )
     sig = (
         base.select("_id", F.explode("_sh").alias("_v"))

@@ -54,15 +54,22 @@ class PipelineConfig:
     use_splitter: bool = True        # negative-evidence: lang mismatch breaks edges
 
 
-def extract_features(repo_files: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def extract_features(
+    repo_files: DataFrame, cfg: PipelineConfig, keep: list[str] | None = None
+) -> DataFrame:
     """The visitor stage: derive ids + typed feature columns, never touching content.
 
     (Reference: visitors mutate Article objects in place,
     ``am_combiner/features/frontend.py:24-43``; here each feature is a column and
     ``content`` itself is only read, never rewritten — the sha256 invariant.)
     """
-    toks = TX.tokens(F.col("content"))
-    return repo_files.select(
+    # Two-step select: tokenization lands in a real column FIRST, then the
+    # window-sliding expressions reference that column. Embedding the tokenize
+    # expression directly inside slice()-in-transform lambdas makes Spark
+    # re-evaluate it per window element (no CSE inside HOF lambdas) — measured
+    # ~40x slower. Multi-use of `_toks` below keeps CollapseProject from
+    # re-inlining it.
+    with_toks = repo_files.select(
         unique_id().alias("unique_id"),
         "repo",
         "path",
@@ -71,6 +78,20 @@ def extract_features(repo_files: DataFrame, cfg: PipelineConfig) -> DataFrame:
         content_sha().alias("content_sha"),
         TX.path_stem("path").alias("stem"),
         TX.path_tokens("path").alias("path_toks"),
+        TX.tokens(F.col("content")).alias("_toks"),
+        *[F.col(c) for c in (keep or [])],
+    )
+    toks = F.col("_toks")
+    return with_toks.select(
+        *[F.col(c) for c in (keep or [])],
+        "unique_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha",
+        "stem",
+        "path_toks",
         F.array_distinct(TX.shingles(toks, cfg.shingle_k)).alias("shingles"),
         rolling_fingerprints(toks).alias("fingerprints"),
         F.size(toks).cast("long").alias("n_tokens"),

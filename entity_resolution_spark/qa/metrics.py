@@ -1,23 +1,34 @@
 """Clustering-quality metrics as distributed groupBy jobs.
 
-Reproduces the reference's QA module semantics:
-- pairwise accuracy/precision/recall/F1 on labeled pairs — the acceptance metric the
-  F1 ≥ 0.99 gate refers to (``am_combiner/qa/acceptance_metrics.py:7-74``), made
-  exhaustive and deterministic instead of sampled;
-- homogeneity / completeness / V-measure per block, averaged
-  (``am_combiner/qa/quality_metrics.py:174-197`` — sklearn call, re-derived here from
-  the contingency-table entropy definitions so no sklearn is needed);
-- over/under-combination rates and the score-to-minimize
-  (``am_combiner/qa/quality_metrics.py:200-319``).
+Reproduces the reference's QA semantics exactly (validated against its golden
+fixture — ``/root/reference/test/qa/test_quality_metrics.py:22-46`` expects
+V 0.88 / OC 0.1 / UC 0.4 / profiles 3.5 / score 2.7):
+
+- pairwise accuracy/precision/recall/F1 on labeled pairs — the acceptance metric
+  behind the F1 ≥ 0.99 gate (``am_combiner/qa/acceptance_metrics.py:7-74``), made
+  exhaustive/deterministic instead of sampled;
+- per-block homogeneity/completeness/V from the contingency table, rounded to 2dp
+  (``qa/quality_metrics.py:174-197`` calls sklearn; re-derived here from the
+  entropy definitions — no sklearn, all Spark aggregations);
+- per-predicted-cluster support / is_over / is_under
+  (``qa/quality_metrics.py:200-244``): is_over ⇔ cluster touches >1 true cluster;
+  is_under ⇔ some touched true cluster has members outside the predicted cluster;
+- OC/UC rates, profiles-per-OC, score-to-minimize with the reference's weights
+  (``qa/quality_metrics.py:247-319``), every intermediate rounded to 2dp exactly
+  where the reference rounds;
+- the final report = unweighted per-block column means
+  (``qa/quality_control.py:7-85``).
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+# --------------------------------------------------------------------------
+# Pairwise acceptance metrics (the F1 gate)
+# --------------------------------------------------------------------------
 
 def pairwise_confusion(
     labeled_pairs: DataFrame, clusters: DataFrame
@@ -60,99 +71,191 @@ def pairwise_f1(labeled_pairs: DataFrame, clusters: DataFrame) -> dict[str, floa
     }
 
 
-def _entropy_sum(counts: list[tuple[int, int]]) -> float:
-    """Σ -(n/N)·ln(n/N) helper over (n, N) pairs."""
-    out = 0.0
-    for n, total in counts:
-        if n > 0 and total > 0:
-            p = n / total
-            out -= p * math.log(p)
-    return out
+# --------------------------------------------------------------------------
+# Per-block quality (reference-exact)
+# --------------------------------------------------------------------------
 
-
-def homogeneity_completeness_v(
-    truth_pred: DataFrame, truth_col: str = "ground_truth", pred_col: str = "cluster_id"
-) -> dict[str, float]:
-    """Global homogeneity/completeness/V from the (truth, pred) contingency table.
-
-    Pure groupBy aggregation (three small aggregates collected to the driver — the
-    contingency table is #truth-clusters × #pred-clusters, tiny relative to data).
-    Matches sklearn's ``homogeneity_completeness_v_measure`` definitions.
-    """
-    n = truth_pred.count()
-    if n == 0:
-        return {"homogeneity": 1.0, "completeness": 1.0, "v_measure": 1.0}
-    cont = (
-        truth_pred.groupBy(truth_col, pred_col).agg(F.count("*").alias("nij")).collect()
-    )
-    t_tot: dict = {}
-    p_tot: dict = {}
-    for r in cont:
-        t_tot[r[truth_col]] = t_tot.get(r[truth_col], 0) + r["nij"]
-        p_tot[r[pred_col]] = p_tot.get(r[pred_col], 0) + r["nij"]
-    h_c = _entropy_sum([(t, n) for t in t_tot.values()])          # H(C)
-    h_k = _entropy_sum([(p, n) for p in p_tot.values()])          # H(K)
-    # H(C|K) = Σ_k Σ_c -(n_ck/n)·ln(n_ck/n_k)
-    h_c_given_k = 0.0
-    h_k_given_c = 0.0
-    for r in cont:
-        nij = r["nij"]
-        if nij > 0:
-            h_c_given_k -= (nij / n) * math.log(nij / p_tot[r[pred_col]])
-            h_k_given_c -= (nij / n) * math.log(nij / t_tot[r[truth_col]])
-    homogeneity = 1.0 if h_c == 0 else 1.0 - h_c_given_k / h_c
-    completeness = 1.0 if h_k == 0 else 1.0 - h_k_given_c / h_k
-    v = (
-        0.0
-        if homogeneity + completeness == 0
-        else 2 * homogeneity * completeness / (homogeneity + completeness)
-    )
-    return {"homogeneity": homogeneity, "completeness": completeness, "v_measure": v}
-
-
-def oc_uc_report(
+def cluster_support_flags(
     truth_pred: DataFrame,
     block_col: str = "blocking_key",
     truth_col: str = "ground_truth",
     pred_col: str = "cluster_id",
 ) -> DataFrame:
-    """Per-block over/under-combination report (ref: ``qa/quality_metrics.py:200-281``).
+    """Per (block, predicted cluster): support, is_over, is_under.
 
-    A predicted cluster is OVER-combined if it touches >1 true cluster; a true
-    cluster is UNDER-combined if it is spread over >1 predicted cluster.
-    Output per block: oc_rate, uc_rate, n_pred_clusters, n_true_clusters.
+    support  = number of distinct true clusters touched (ref quality_metrics.py:232)
+    is_over  ⇔ support > 1                              (ref :239)
+    is_under ⇔ some touched true cluster has members outside this predicted
+               cluster (ref :234-238 — "missing urls")
     """
-    per_pred = truth_pred.groupBy(block_col, pred_col).agg(
-        F.countDistinct(truth_col).alias("_support")
+    n_tp = truth_pred.groupBy(block_col, pred_col, truth_col).agg(
+        F.count("*").alias("_n_tp")
     )
-    oc = per_pred.groupBy(block_col).agg(
-        F.avg((F.col("_support") > 1).cast("double")).alias("oc_rate"),
-        F.count("*").alias("n_pred_clusters"),
+    n_t = truth_pred.groupBy(block_col, truth_col).agg(F.count("*").alias("_n_t"))
+    joined = n_tp.join(n_t, [block_col, truth_col])
+    return joined.groupBy(block_col, pred_col).agg(
+        F.countDistinct(truth_col).alias("support"),
+        (F.countDistinct(truth_col) > 1).alias("is_over"),
+        F.max((F.col("_n_t") > F.col("_n_tp")).cast("int")).cast("boolean").alias("is_under"),
     )
-    per_true = truth_pred.groupBy(block_col, truth_col).agg(
-        F.countDistinct(pred_col).alias("_spread")
-    )
-    uc = per_true.groupBy(block_col).agg(
-        F.avg((F.col("_spread") > 1).cast("double")).alias("uc_rate"),
-        F.count("*").alias("n_true_clusters"),
-    )
-    return oc.join(uc, block_col)
 
 
-def score_to_minimize(report: DataFrame) -> DataFrame:
-    """The reference's tuned objective (weights from ``qa/quality_metrics.py:312-317``):
-    3.4·UC + 8.4·OC + 0.4·(pred/true clusters per OC proxy) + 0.8·excess-profiles."""
-    excess = F.greatest(
-        (F.col("n_pred_clusters") - F.col("n_true_clusters")).cast("double"), F.lit(0.0)
-    ) / F.col("n_true_clusters")
-    profiles_per_oc = F.when(
-        F.col("oc_rate") > 0,
-        F.col("n_pred_clusters").cast("double") / F.col("n_true_clusters"),
-    ).otherwise(F.lit(0.0))
-    return report.withColumn(
-        "score_to_minimize",
+def _per_block_entropy_scores(
+    truth_pred: DataFrame, block_col: str, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-block homogeneity/completeness/V from entropies (matches sklearn's
+    homogeneity_completeness_v_measure), each rounded to 2dp like the reference."""
+    n_b = truth_pred.groupBy(block_col).agg(F.count("*").alias("_n"))
+    n_t = truth_pred.groupBy(block_col, truth_col).agg(F.count("*").alias("_nt"))
+    n_p = truth_pred.groupBy(block_col, pred_col).agg(F.count("*").alias("_np"))
+    n_tp = truth_pred.groupBy(block_col, truth_col, pred_col).agg(
+        F.count("*").alias("_ntp")
+    )
+    h_c = (
+        n_t.join(n_b, block_col)
+        .groupBy(block_col)
+        .agg(
+            (-F.sum((F.col("_nt") / F.col("_n")) * F.log(F.col("_nt") / F.col("_n"))))
+            .alias("_h_c")
+        )
+    )
+    h_k = (
+        n_p.join(n_b, block_col)
+        .groupBy(block_col)
+        .agg(
+            (-F.sum((F.col("_np") / F.col("_n")) * F.log(F.col("_np") / F.col("_n"))))
+            .alias("_h_k")
+        )
+    )
+    cond = (
+        n_tp.join(n_t, [block_col, truth_col])
+        .join(n_p, [block_col, pred_col])
+        .join(n_b, block_col)
+    )
+    h_cond = cond.groupBy(block_col).agg(
+        (-F.sum((F.col("_ntp") / F.col("_n")) * F.log(F.col("_ntp") / F.col("_np"))))
+        .alias("_h_c_k"),
+        (-F.sum((F.col("_ntp") / F.col("_n")) * F.log(F.col("_ntp") / F.col("_nt"))))
+        .alias("_h_k_c"),
+    )
+    # v is computed from the UNROUNDED h/c (reference rounds h, c, v each
+    # independently of one another, quality_metrics.py:195-197)
+    return (
+        h_c.join(h_k, block_col)
+        .join(h_cond, block_col)
+        .withColumn(
+            "_hom",
+            F.when(F.col("_h_c") == 0, F.lit(1.0)).otherwise(
+                1.0 - F.col("_h_c_k") / F.col("_h_c")
+            ),
+        )
+        .withColumn(
+            "_com",
+            F.when(F.col("_h_k") == 0, F.lit(1.0)).otherwise(
+                1.0 - F.col("_h_k_c") / F.col("_h_k")
+            ),
+        )
+        .select(
+            block_col,
+            F.round("_hom", 2).alias("homogeneity"),
+            F.round("_com", 2).alias("completeness"),
+            F.round(
+                F.when((F.col("_hom") + F.col("_com")) == 0, F.lit(0.0)).otherwise(
+                    2 * F.col("_hom") * F.col("_com") / (F.col("_hom") + F.col("_com"))
+                ),
+                2,
+            ).alias("v_measure"),
+        )
+    )
+
+
+def validate_blocks(
+    truth_pred: DataFrame,
+    block_col: str = "blocking_key",
+    truth_col: str = "ground_truth",
+    pred_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-block quality frame — the distributed ``validate_name`` loop
+    (``qa/quality_metrics.py:33-79`` iterates names; here one groupBy pipeline).
+
+    Columns: homogeneity, completeness, v_measure, count, oc_rate, uc_rate,
+    profiles_per_oc, profiles_created, profiles_true, score_to_minimize.
+    """
+    flags = cluster_support_flags(truth_pred, block_col, truth_col, pred_col)
+    per_block = flags.groupBy(block_col).agg(
+        F.count("*").alias("profiles_created"),
+        F.round(
+            F.sum(F.col("is_over").cast("int")) / F.count("*"), 2
+        ).alias("oc_rate"),
+        F.round(
+            F.sum(F.col("is_under").cast("int")) / F.count("*"), 2
+        ).alias("uc_rate"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("is_over"), F.col("support"))).cast("double")
+                / F.sum(F.col("is_over").cast("int")),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("profiles_per_oc"),
+    )
+    sizes = truth_pred.groupBy(block_col).agg(
+        F.count("*").alias("count"),
+        F.countDistinct(truth_col).alias("profiles_true"),
+    )
+    hcv = _per_block_entropy_scores(truth_pred, block_col, truth_col, pred_col)
+    out = per_block.join(sizes, block_col).join(hcv, block_col)
+    score = F.round(
         3.4 * F.col("uc_rate")
         + 8.4 * F.col("oc_rate")
-        + 0.4 * profiles_per_oc
-        + 0.8 * excess,
+        + 0.4 * F.col("profiles_per_oc")
+        + 0.8
+        * F.greatest(
+            F.col("profiles_created") - F.col("profiles_true"), F.lit(0)
+        ).cast("double")
+        / F.col("profiles_true"),
+        2,
     )
+    return out.withColumn("score_to_minimize", score)
+
+
+REPORT_COLS = [
+    "homogeneity",
+    "completeness",
+    "v_measure",
+    "oc_rate",
+    "uc_rate",
+    "profiles_per_oc",
+    "profiles_created",
+    "profiles_true",
+    "score_to_minimize",
+]
+
+
+def validation_report(
+    truth_pred: DataFrame,
+    block_col: str = "blocking_key",
+    truth_col: str = "ground_truth",
+    pred_col: str = "cluster_id",
+) -> dict[str, float]:
+    """Unweighted per-block means — the reference's final report dict
+    (``qa/quality_control.py:55-85`` with no weighting column)."""
+    q = validate_blocks(truth_pred, block_col, truth_col, pred_col)
+    row = q.agg(*[F.avg(c).alias(c) for c in REPORT_COLS]).collect()[0]
+    return {c: round(float(row[c]), 2) for c in REPORT_COLS}
+
+
+def homogeneity_completeness_v(
+    truth_pred: DataFrame, truth_col: str = "ground_truth", pred_col: str = "cluster_id"
+) -> dict[str, float]:
+    """Global (single-block) H/C/V — convenience wrapper over the per-block job."""
+    one = truth_pred.withColumn("_all", F.lit("all"))
+    row = _per_block_entropy_scores(one, "_all", truth_col, pred_col).collect()
+    if not row:
+        return {"homogeneity": 1.0, "completeness": 1.0, "v_measure": 1.0}
+    r = row[0]
+    return {
+        "homogeneity": r["homogeneity"],
+        "completeness": r["completeness"],
+        "v_measure": r["v_measure"],
+    }

@@ -1,0 +1,71 @@
+"""Dedup operator tests: exact groups, jaccard pairs/clusters, MinHash recall,
+SimHash, embedding near-dup — on hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_groups,
+    jaccard_dup_clusters,
+    jaccard_pairs,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+    (4, "completely different content about spark dataframes and shuffles", "en"),
+    (5, "der schnelle braune fuchs springt wieder", "de"),
+]
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_exact_dup_groups(spark):
+    d = spark.createDataFrame(DOCS, SCHEMA)
+    out = {r["doc_id"]: (r["dup_group"], r["group_size"]) for r in exact_dup_groups(d).collect()}
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+    assert out[3] == (3, 1) and out[4] == (4, 1) and out[5] == (5, 1)
+
+
+def test_jaccard_pairs_and_clusters(spark):
+    d = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(d, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0           # identical token sets
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+    assert (1, 4) not in pairs
+    clusters = {r["doc_id"]: r["cluster"] for r in jaccard_dup_clusters(d, threshold=0.5).collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[4] == 4 and clusters[5] == 5
+
+
+def test_minhash_finds_near_dups(spark):
+    d = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert all(p not in got for p in [(1, 4), (2, 4), (3, 4)])
+
+
+def test_simhash_near_dups(spark):
+    d = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dup_pairs(d, max_hamming=16).collect()}
+    assert got.get((1, 2)) == 0          # identical token sets → identical sketch
+    assert (1, 3) in got                 # one-token change → small hamming
+    assert got[(1, 3)] <= 16
+
+
+def test_embedding_near_dup(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.14, 0.0]),   # cos ≈ 0.99
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vecs, threshold=0.9).collect()}
+    assert got == {(1, 2)}

@@ -1,0 +1,100 @@
+"""Golden QA tests: the reference's two-name fixture must reproduce its exact
+report (V 0.88, OC 0.1, UC 0.4, profiles 3.5, score 2.7 —
+/root/reference/test/qa/test_quality_metrics.py:22-46)."""
+
+from __future__ import annotations
+
+import pytest
+
+from entity_resolution_spark.qa.metrics import (
+    cluster_support_flags,
+    pairwise_f1,
+    validate_blocks,
+    validation_report,
+)
+
+NAME = "Some Name"
+OTHER = "Some OTHER Name"
+
+# (block, unique_id, ground_truth, cluster_id) — the reference conftest fixture
+FIXTURE = [
+    (NAME, "url.1", 1, 1),
+    (NAME, "url.2", 2, 2),
+    (NAME, "url.3", 2, 3),
+    (NAME, "url.4", 3, 1),
+    (NAME, "url.5", 4, 4),
+    (NAME, "url.6", 4, 4),
+    (NAME, "url.7", 4, 5),
+    (OTHER, "url.1", 1, 1),
+    (OTHER, "url.2", 2, 2),
+]
+
+
+@pytest.fixture(scope="module")
+def truth_pred(spark):
+    return spark.createDataFrame(
+        FIXTURE, "blocking_key string, unique_id string, ground_truth long, cluster_id long"
+    )
+
+
+def test_cluster_support_flags_golden(spark, truth_pred):
+    flags = {
+        (r["blocking_key"], r["cluster_id"]): (r["support"], r["is_over"], r["is_under"])
+        for r in cluster_support_flags(truth_pred).collect()
+    }
+    # reference validate_name expectations (test_quality_metrics.py:49-90)
+    assert flags[(NAME, 1)] == (2, True, False)
+    assert flags[(NAME, 2)] == (1, False, True)
+    assert flags[(NAME, 3)] == (1, False, True)
+    assert flags[(NAME, 4)] == (1, False, True)
+    assert flags[(NAME, 5)] == (1, False, True)
+    assert flags[(OTHER, 1)] == (1, False, False)
+    assert flags[(OTHER, 2)] == (1, False, False)
+
+
+def test_validate_blocks_golden(spark, truth_pred):
+    rows = {r["blocking_key"]: r.asDict() for r in validate_blocks(truth_pred).collect()}
+    name = rows[NAME]
+    assert name["homogeneity"] == 0.84
+    assert name["completeness"] == 0.70
+    assert name["v_measure"] == 0.76
+    assert name["count"] == 7
+    assert name["oc_rate"] == 0.2
+    assert name["uc_rate"] == 0.8
+    assert name["profiles_per_oc"] == 2.0
+    assert name["profiles_created"] == 5
+    assert name["profiles_true"] == 4
+    assert name["score_to_minimize"] == 5.4
+    other = rows[OTHER]
+    assert (other["homogeneity"], other["completeness"], other["v_measure"]) == (1.0, 1.0, 1.0)
+    assert other["score_to_minimize"] == 0.0
+
+
+def test_validation_report_golden(spark, truth_pred):
+    report = validation_report(truth_pred)
+    assert report["homogeneity"] == 0.92
+    assert report["completeness"] == 0.85
+    assert report["v_measure"] == 0.88
+    assert report["oc_rate"] == 0.1
+    assert report["uc_rate"] == 0.4
+    assert report["profiles_per_oc"] == 1.0
+    assert report["profiles_created"] == 3.5
+    assert report["profiles_true"] == 3.0
+    assert report["score_to_minimize"] == 2.7
+
+
+def test_pairwise_f1_perfect_and_degenerate(spark):
+    lp = spark.createDataFrame(
+        [("b", "u1", "u2", True), ("b", "u1", "u3", False)],
+        "blocking_key string, unique_id_a string, unique_id_b string, label boolean",
+    )
+    good = spark.createDataFrame(
+        [("u1", 10), ("u2", 10), ("u3", 20)], "unique_id string, cluster_id long"
+    )
+    m = pairwise_f1(lp, good)
+    assert m["f1"] == 1.0 and m["tn"] == 1.0
+    allone = spark.createDataFrame(
+        [("u1", 1), ("u2", 1), ("u3", 1)], "unique_id string, cluster_id long"
+    )
+    m2 = pairwise_f1(lp, allone)
+    assert m2["recall"] == 1.0 and m2["precision"] == 0.5

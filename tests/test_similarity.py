@@ -1,0 +1,70 @@
+"""ANN tests: brute-force exactness on a known fixture; blocked-tile exactness vs
+the HOF baseline; LSH recall against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.dedup import embedding_near_dup_pairs
+from entity_resolution_spark.operators.similarity import (
+    blocked_cosine_pairs,
+    brute_force_topk,
+    lsh_ann_topk,
+)
+
+
+def _vecs(spark, n=60, dim=8, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_known(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = vecs.where("vec_id = 0")
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(vecs, probes, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_blocked_tiles_match_hof_baseline(spark):
+    vecs = _vecs(spark)
+    th = 0.5
+    base = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in embedding_near_dup_pairs(vecs, threshold=th).collect()
+    }
+    tiles = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in blocked_cosine_pairs(vecs, threshold=th, n_buckets=4).collect()
+    }
+    assert set(base) == set(tiles)
+    for k in base:
+        assert abs(base[k] - tiles[k]) < 1e-9
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    vecs = _vecs(spark, n=100)
+    probes = vecs.where("vec_id < 10")
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, probes, k=3).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(vecs, probes, k=3, dim=8, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # 8 tables × 4 planes on random vectors

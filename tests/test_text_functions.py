@@ -1,0 +1,61 @@
+"""Column-function unit tests: tokens, shingles, counts, quality, lang-id, paths,
+fingerprints, simhash helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions import text as TX
+from entity_resolution_spark.functions.hashing import rolling_fingerprints
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col.alias("x")).collect()[0]["x"]
+
+
+def test_tokens_and_shingles(spark):
+    assert one(spark, "Hello, World_1! foo", TX.tokens(F.col("t"))) == ["hello", "world_1", "foo"]
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], "tk array<string>")
+    sh = df.select(TX.shingles(F.col("tk"), 2).alias("s")).collect()[0]["s"]
+    assert sh == ["a b", "b c", "c d"]
+    # shorter than k → whole sequence as one shingle
+    sh1 = df.select(TX.shingles(F.col("tk"), 9).alias("s")).collect()[0]["s"]
+    assert sh1 == ["a b c d"]
+
+
+def test_token_counts(spark):
+    assert one(spark, "  a b\tc\nd  ", TX.token_count(F.col("t"))) == 4
+    assert one(spark, "", TX.token_count(F.col("t"))) == 0
+    assert one(spark, "foo-bar, baz!", TX.word_like_token_count(F.col("t"))) == 3 + 3
+
+
+def test_quality_features(spark):
+    q = TX.quality_features(F.col("t"))
+    df = spark.createDataFrame([("The cat and the dog!",)], "t string")
+    row = df.select(*[v.alias(k) for k, v in q.items()]).collect()[0]
+    assert row["n_tokens"] == 5
+    assert abs(row["stopword_ratio"] - 3 / 5) < 1e-9   # the, and, the
+    assert row["punct_ratio"] > 0
+
+
+def test_lang_id(spark):
+    assert one(spark, "the cat is on the mat and it is good", TX.lang_id(F.col("t"))) == "en"
+    assert one(spark, "der hund und die katze ist nicht da", TX.lang_id(F.col("t"))) == "de"
+    assert one(spark, "xyzzy qwerty", TX.lang_id(F.col("t"))) == "unknown"
+
+
+def test_path_functions(spark):
+    df = spark.createDataFrame([("src/pkg/Load_Buffer_12_v3.PY",)], "t string")
+    stem = df.select(TX.path_stem(F.col("t")).alias("x")).collect()[0]["x"]
+    assert stem == "load_buffer_12_v3"
+    toks = df.select(TX.path_tokens(F.col("t")).alias("x")).collect()[0]["x"]
+    assert toks == ["buffer", "load", "v"]
+
+
+def test_fingerprints_deterministic_subset(spark):
+    df = spark.createDataFrame([(["w%d" % i for i in range(60)],)], "tk array<string>")
+    fp1 = df.select(rolling_fingerprints(F.col("tk")).alias("f")).collect()[0]["f"]
+    fp2 = df.select(rolling_fingerprints(F.col("tk")).alias("f")).collect()[0]["f"]
+    assert fp1 == fp2
+    assert all(h % 16 == 0 for h in fp1)

@@ -1,0 +1,120 @@
+"""Scaling-efficiency evidence for the north rule: run the identical ER job at two
+parallelism levels (local[8] vs local[32] — the sandbox stand-in for N vs 4N
+executors) on the same input and report throughput at both plus efficiency.
+
+Each measurement runs in a fresh subprocess (own JVM) so the two runs share
+nothing. The job is the full pipeline on a generated corpus of --entities
+synthetic entities (deterministic, seed=42).
+
+Usage: python tools/bench_scaling.py [--entities 4000] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+from entity_resolution_spark.session import get_spark
+from entity_resolution_spark.synth.generator import SynthConfig, generate_corpus
+
+cores = int(sys.argv[1])
+n_entities = int(sys.argv[2])
+parquet_dir = sys.argv[3]
+
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 2, 8))
+repo_files = spark.read.parquet(parquet_dir)
+n_files = repo_files.count()
+
+t0 = time.monotonic()
+out = resolve(spark, repo_files, PipelineConfig())
+n_clusters = out["clusters"].select("cluster_id").distinct().count()
+wall = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "files": n_files, "wall_sec": wall,
+                   "files_per_sec": n_files / wall, "clusters": n_clusters}}))
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=4000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--cores", default="8,32")
+    args = ap.parse_args()
+
+    # materialize the corpus once so both runs read identical parquet
+    sys.path.insert(0, REPO)
+    from entity_resolution_spark.session import get_spark
+    from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
+
+    corpus_dir = f"/tmp/scaling_corpus_{args.entities}"
+    if not os.path.exists(corpus_dir):
+        spark = get_spark("gen", master="local[32]")
+        df_files, _, _ = corpus_dataframes(
+            spark, SynthConfig(seed=42, n_entities=args.entities)
+        )
+        df_files.repartition(64).write.mode("overwrite").parquet(corpus_dir)
+        spark.stop()
+
+    child_src = CHILD.format(repo=REPO)
+    results = []
+    for cores in [int(c) for c in args.cores.split(",")]:
+        env = dict(os.environ)
+        env["SPARK_DRIVER_MEMORY"] = "48g"
+        p = subprocess.run(
+            [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-4000:])
+            return 1
+        r = json.loads(line[-1])
+        results.append(r)
+        print(json.dumps(r))
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["files_per_sec"] / lo["files_per_sec"]
+    eff = ratio / (hi["cores"] / lo["cores"])
+    summary = {
+        "throughput_low": round(lo["files_per_sec"], 1),
+        "throughput_high": round(hi["files_per_sec"], 1),
+        "speedup": round(ratio, 3),
+        "cores_ratio": hi["cores"] / lo["cores"],
+        "scaling_efficiency": round(eff, 3),
+        "clusters_identical": lo["clusters"] == hi["clusters"],
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            "# BENCH — scaling-efficiency evidence (north rule)\n\n"
+            "Identical ER job (full pipeline: features → blocking → candidate pairs →\n"
+            "scoring → splitter → connected components) on the same pre-materialized\n"
+            f"parquet corpus ({lo['files']} files, {args.entities} entities, seed 42),\n"
+            "run in fresh single-JVM subprocesses at two parallelism levels — the\n"
+            "sandbox evidence for N vs 4N executors.\n\n"
+            "| cores | wall (s) | files/sec | clusters |\n|---|---|---|---|\n"
+            + "".join(
+                f"| local[{r['cores']}] | {r['wall_sec']:.1f} | {r['files_per_sec']:.1f} | {r['clusters']} |\n"
+                for r in results
+            )
+            + f"\n- speedup {lo['cores']}→{hi['cores']} cores: **{ratio:.2f}×**\n"
+            f"- scaling efficiency (speedup / core-ratio): **{eff:.3f}** (target ≥ 0.8)\n"
+            f"- cluster outputs identical across parallelism levels: **{summary['clusters_identical']}**\n"
+        )
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,9 +18,9 @@ from entity_resolution_spark.plans.checkpoint import CheckpointStore
 from entity_resolution_spark.plans.pipeline import PipelineConfig, audit_content_sha, resolve
 from entity_resolution_spark.qa.metrics import (
     homogeneity_completeness_v,
-    oc_uc_report,
     pairwise_f1,
-    score_to_minimize,
+    validate_blocks,
+    validation_report,
 )
 from entity_resolution_spark.session import get_spark
 from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
@@ -66,8 +66,10 @@ def main() -> int:
     )
     print("=== homogeneity/completeness/v ===")
     print(homogeneity_completeness_v(tp))
-    print("=== per-block OC/UC (worst 5 by score) ===")
-    score_to_minimize(oc_uc_report(tp)).orderBy("score_to_minimize", ascending=False).show(5)
+    print("=== validation report (reference semantics) ===")
+    print(validation_report(tp))
+    print("=== worst 5 blocks by score-to-minimize ===")
+    validate_blocks(tp).orderBy("score_to_minimize", ascending=False).show(5)
     return 0
 
 
