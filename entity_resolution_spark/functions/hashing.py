@@ -48,7 +48,7 @@ def minhash_signature(exploded_value: Column, num_hashes: int) -> list[Column]:
     Use as: ``df.select(id, explode(shingles).alias('v')).groupBy(id).agg(*exprs)``.
     """
     return [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), exploded_value))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(f"mh{i}"), exploded_value)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.strings import jaro_winkler_udf, levenshtein_sim
-from entity_resolution_spark.functions.vectors import array_jaccard, cosine_sorted_udf
+from entity_resolution_spark.functions.vectors import cosine_jaccard_udf
 
 # Feature columns produced by build_pair_features, in scorer order.
 PAIR_FEATURES = ["cosine", "jaccard", "jw_stem", "lev_stem", "same_lang", "exact"]
@@ -50,11 +50,13 @@ def build_pair_features(
 ) -> DataFrame:
     """pairs(id_a, id_b, is_exact) ⋈ features ⋈ vectors → per-pair feature columns.
 
-    ``features``: unique_id, lang, content_sha, stem, shingles (distinct), n_tokens.
-    ``vectors``:  unique_id, terms, weights (from tfidf_vectors).
+    ``features``: unique_id, lang, content_sha, stem (scalar cols only are joined).
+    ``vectors``:  unique_id, terms, weights (terms ARE the hashed shingles, so
+    cosine and jaccard both come from one batched UDF over terms/weights — the
+    wide shingle arrays never enter the pair join).
     """
     feat = features.join(vectors, "unique_id", "left").select(
-        "unique_id", "lang", "content_sha", "stem", "shingles", "terms", "weights"
+        "unique_id", "lang", "content_sha", "stem", "terms", "weights"
     )
     a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
     b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
@@ -62,11 +64,14 @@ def build_pair_features(
         pairs.join(a, pairs["id_a"] == a["unique_id_a"])
         .join(b, pairs["id_b"] == b["unique_id_b"])
     )
+    p = p.withColumn(
+        "_cj", cosine_jaccard_udf("terms_a", "weights_a", "terms_b", "weights_b")
+    )
     return p.select(
         "id_a",
         "id_b",
-        cosine_sorted_udf("terms_a", "weights_a", "terms_b", "weights_b").alias("cosine"),
-        array_jaccard(F.col("shingles_a"), F.col("shingles_b")).alias("jaccard"),
+        F.col("_cj.cosine").alias("cosine"),
+        F.col("_cj.jaccard").alias("jaccard"),
         jaro_winkler_udf("stem_a", "stem_b").alias("jw_stem"),
         levenshtein_sim(F.col("stem_a"), F.col("stem_b")).alias("lev_stem"),
         (F.col("lang_a") == F.col("lang_b")).cast("double").alias("same_lang"),

@@ -82,6 +82,9 @@ def extract_features(
         *[F.col(c) for c in (keep or [])],
     )
     toks = F.col("_toks")
+    # shingles are stored HASHED (xxhash64 per shingle, array<long>): 4-6× less
+    # shuffle width than the raw strings, long-compare intersects, and minhash /
+    # TF-IDF downstream operate on the hashes directly.
     return with_toks.select(
         *[F.col(c) for c in (keep or [])],
         "unique_id",
@@ -92,7 +95,11 @@ def extract_features(
         "content_sha",
         "stem",
         "path_toks",
-        F.array_distinct(TX.shingles(toks, cfg.shingle_k)).alias("shingles"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(TX.shingles(toks, cfg.shingle_k), lambda s: F.xxhash64(s))
+            )
+        ).alias("shingles"),
         rolling_fingerprints(toks).alias("fingerprints"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
@@ -103,6 +110,8 @@ def resolve(
     repo_files: DataFrame,
     cfg: PipelineConfig | None = None,
     store: CheckpointStore | None = None,
+    eager: bool = False,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage DataFrame keyed by stage name.
 
@@ -114,10 +123,19 @@ def resolve(
     sig = "v1"  # bumped when pipeline logic changes; a content hash at production scale
 
     def stage(name: str, compute):
+        import time as _time
+
+        t0 = _time.monotonic()
         if store is not None:
-            return store.get_or_compute(name, compute, input_signature=sig)
-        # no store: cache the stage so downstream actions don't recompute the DAG
-        return compute().persist()
+            out = store.get_or_compute(name, compute, input_signature=sig)
+        else:
+            # no store: cache the stage so downstream actions don't recompute the DAG
+            out = compute().persist()
+            if eager:
+                out.count()
+        if timings is not None:
+            timings[name] = round(_time.monotonic() - t0, 2)
+        return out
 
     features = stage("features", lambda: extract_features(repo_files, cfg))
     vectors = stage(

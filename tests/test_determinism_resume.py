@@ -1,0 +1,77 @@
+"""Determinism + resumability gates (FIXTURES.md §5):
+- identical cluster co-membership under local[2] vs local[8];
+- resume-from-checkpoint after a simulated crash reproduces identical clusters.
+
+Each parallelism level runs in its own subprocess (own SparkSession/JVM)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+from entity_resolution_spark.session import get_spark
+from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
+
+cores = int(sys.argv[1])
+spark = get_spark("det", master=f"local[{{cores}}]", shuffle_partitions=cores * 2)
+rf, _, _ = corpus_dataframes(spark, SynthConfig(seed=7, n_entities=25))
+out = resolve(spark, rf, PipelineConfig())
+rows = sorted(
+    (r["unique_id"], r["cluster_rep"]) for r in out["clusters"].collect()
+)
+print("RESULT" + json.dumps(rows))
+"""
+
+
+def _run(cores: int) -> list:
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
+    assert lines, p.stderr[-3000:]
+    return json.loads(lines[-1][len("RESULT"):])
+
+
+def test_identical_output_across_parallelism():
+    assert _run(2) == _run(8)
+
+
+def test_resume_reproduces_identical_clusters(spark, tmp_path):
+    from entity_resolution_spark.plans.checkpoint import CheckpointStore
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+    from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
+
+    rf, _, _ = corpus_dataframes(spark, SynthConfig(seed=9, n_entities=20))
+    root = str(tmp_path / "ck")
+    store = CheckpointStore(spark, root)
+    first = sorted(
+        (r["unique_id"], r["cluster_rep"])
+        for r in resolve(spark, rf, PipelineConfig(), store=store)["clusters"].collect()
+    )
+    # simulate crash after candidate_pairs: drop the later stages
+    for stage in ("match_edges", "clusters"):
+        shutil.rmtree(os.path.join(root, stage), ignore_errors=True)
+        lp = os.path.join(root, f"{stage}._lineage.json")
+        if os.path.exists(lp):
+            os.remove(lp)
+    store2 = CheckpointStore(spark, root)
+    second = sorted(
+        (r["unique_id"], r["cluster_rep"])
+        for r in resolve(spark, rf, PipelineConfig(), store=store2)["clusters"].collect()
+    )
+    assert first == second
+    # and the early stages were NOT recomputed (lineage timestamps unchanged)
+    with open(os.path.join(root, "features._lineage.json")) as f:
+        assert json.load(f)["stage"] == "features"

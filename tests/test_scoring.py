@@ -1,0 +1,84 @@
+"""Scoring tests: TF-IDF vectors, pair features, logistic fusion, threshold bump,
+splitter semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.strings import jaro_winkler_py, levenshtein_sim
+from entity_resolution_spark.functions.vectors import cosine_sorted_udf, tfidf_vectors
+from entity_resolution_spark.operators.scoring import (
+    PAIR_FEATURES,
+    ScorerWeights,
+    logistic_score,
+    match_edges,
+)
+
+
+def test_tfidf_unit_norm_and_idf(spark):
+    docs = spark.createDataFrame(
+        [("a", ["x", "x", "y"]), ("b", ["x", "z"])], "unique_id string, toks array<string>"
+    )
+    vec = {r["unique_id"]: r for r in tfidf_vectors(docs, "unique_id", "toks").collect()}
+    for r in vec.values():
+        norm = math.sqrt(sum(w * w for w in r["weights"]))
+        assert abs(norm - 1.0) < 1e-9
+        assert list(r["terms"]) == sorted(r["terms"])
+
+
+def test_cosine_udf_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            ([1, 2], [0.6, 0.8], [1, 2], [0.6, 0.8]),
+            ([1, 2], [0.6, 0.8], [3, 4], [1.0, 0.0]),
+        ],
+        "ta array<long>, wa array<double>, tb array<long>, wb array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_sorted_udf("ta", "wa", "tb", "wb").alias("c")).collect()]
+    assert abs(got[0] - 1.0) < 1e-9
+    assert got[1] == 0.0
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    assert jaro_winkler_py("", "abc") == 0.0
+    # classic textbook value: MARTHA vs MARHTA
+    assert abs(jaro_winkler_py("martha", "marhta") - 0.9611) < 1e-3
+
+
+def test_levenshtein_sim(spark):
+    df = spark.createDataFrame([("kitten", "sitting"), ("x", "x")], "a string, b string")
+    got = [r["s"] for r in df.select(levenshtein_sim(F.col("a"), F.col("b")).alias("s")).collect()]
+    assert abs(got[0] - (1 - 3 / 7)) < 1e-9
+    assert got[1] == 1.0
+
+
+def test_logistic_score_monotone_and_exact_dominates(spark):
+    rows = [
+        ("a", "b", 0.9, 0.8, 0.9, 0.9, 1.0, 0.0),
+        ("c", "d", 0.1, 0.05, 0.5, 0.4, 1.0, 0.0),
+        ("e", "f", 0.0, 0.0, 0.0, 0.0, 0.0, 1.0),   # exact duplicate, nothing else
+    ]
+    pf = spark.createDataFrame(
+        rows, "id_a string, id_b string, " + ", ".join(f"{c} double" for c in PAIR_FEATURES)
+    )
+    scored = {(r["id_a"], r["id_b"]): r["score"] for r in logistic_score(pf).collect()}
+    assert scored[("a", "b")] > 0.95
+    assert scored[("c", "d")] < 0.2
+    assert scored[("e", "f")] > 0.99   # exact weight dominates
+
+
+def test_large_block_threshold_bump(spark):
+    w = ScorerWeights(threshold=0.5, large_block_bump=0.3, large_block_size=10)
+    scored = spark.createDataFrame(
+        [("a", "b", 0.6), ("c", "d", 0.6)],
+        "id_a string, id_b string, score double",
+    )
+    sizes = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 2), ("d", 2)], "unique_id string, block_n long"
+    )
+    kept = {(r["id_a"], r["id_b"]) for r in match_edges(scored, w, sizes).collect()}
+    assert kept == {("c", "d")}   # big-block pair needs > 0.8 now

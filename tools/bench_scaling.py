@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--entities", type=int, default=4000)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument(
+        "--repeats", type=int, default=3,
+        help="alternating repeats per config; min wall is reported (the sandbox "
+        "host is shared — load from other tenants adds noise that min-of-N "
+        "suppresses)",
+    )
     args = ap.parse_args()
 
     # materialize the corpus once so both runs read identical parquet
@@ -65,22 +71,31 @@ def main() -> int:
         spark.stop()
 
     child_src = CHILD.format(repo=REPO)
-    results = []
-    for cores in [int(c) for c in args.cores.split(",")]:
-        env = dict(os.environ)
-        env["SPARK_DRIVER_MEMORY"] = "48g"
-        p = subprocess.run(
-            [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(p.stdout[-2000:], p.stderr[-4000:])
-            return 1
-        r = json.loads(line[-1])
-        results.append(r)
-        print(json.dumps(r))
+    core_list = [int(c) for c in args.cores.split(",")]
+    runs: dict[int, list[dict]] = {c: [] for c in core_list}
+    for rep in range(args.repeats):
+        for cores in core_list:
+            load = os.getloadavg()[0]
+            env = dict(os.environ)
+            env["SPARK_DRIVER_MEMORY"] = "48g"
+            p = subprocess.run(
+                [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-4000:])
+                return 1
+            r = json.loads(line[-1])
+            r["host_load_before"] = round(load, 1)
+            runs[cores].append(r)
+            print(json.dumps(r), flush=True)
 
+    # min wall per config — the least-contended sample approximates the
+    # uncontended job; cluster counts must agree across every run
+    results = [min(runs[c], key=lambda r: r["wall_sec"]) for c in core_list]
+    for c in core_list:
+        assert len({r["clusters"] for r in runs[c]}) == 1
     lo, hi = results[0], results[-1]
     ratio = hi["files_per_sec"] / lo["files_per_sec"]
     eff = ratio / (hi["cores"] / lo["cores"])
@@ -103,11 +118,18 @@ def main() -> int:
             f"parquet corpus ({lo['files']} files, {args.entities} entities, seed 42),\n"
             "run in fresh single-JVM subprocesses at two parallelism levels — the\n"
             "sandbox evidence for N vs 4N executors.\n\n"
-            "| cores | wall (s) | files/sec | clusters |\n|---|---|---|---|\n"
+            f"Each config ran {args.repeats}× alternating; best (min-wall) sample shown —\n"
+            "the sandbox host is SHARED and external tenant load (recorded below)\n"
+            "perturbs wall time, so min-of-N approximates the uncontended job.\n\n"
+            "| cores | wall (s) | files/sec | clusters | host load before |\n|---|---|---|---|---|\n"
             + "".join(
-                f"| local[{r['cores']}] | {r['wall_sec']:.1f} | {r['files_per_sec']:.1f} | {r['clusters']} |\n"
+                f"| local[{r['cores']}] | {r['wall_sec']:.1f} | {r['files_per_sec']:.1f} | {r['clusters']} | {r.get('host_load_before', '?')} |\n"
                 for r in results
             )
+            + "\nAll samples:\n\n"
+            + "```\n"
+            + "\n".join(json.dumps(r) for c in core_list for r in runs[c])
+            + "\n```\n"
             + f"\n- speedup {lo['cores']}→{hi['cores']} cores: **{ratio:.2f}×**\n"
             f"- scaling efficiency (speedup / core-ratio): **{eff:.3f}** (target ≥ 0.8)\n"
             f"- cluster outputs identical across parallelism levels: **{summary['clusters_identical']}**\n"
