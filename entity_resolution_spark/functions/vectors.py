@@ -42,6 +42,9 @@ def tfidf_vectors(
         docs.select(F.col(id_col).alias("_id"), F.explode(F.col(term_col)).alias("_t"))
         .groupBy("_id", "_t")
         .agg(F.count("*").alias("_tf"))
+        # tf feeds BOTH the df aggregation and the weighting join; persist so the
+        # explode+groupBy (the expensive half of TF-IDF) runs once, not twice
+        .persist()
     )
     df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
     if max_df_frac < 1.0:

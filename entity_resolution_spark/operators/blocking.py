@@ -148,6 +148,11 @@ def block_assignments(features: DataFrame, cfg: BlockingConfig | None = None) ->
     asg = parts[0]
     for p in parts[1:]:
         asg = asg.unionByName(p)
+    # The union is consumed THREE times downstream (sha filter, sim filter, and
+    # the cap-sizes join). Spark plans are trees, not DAGs — without a
+    # materialization boundary the whole minhash subtree executes 3×. persist()
+    # collapses that to once (at cluster scale this is the stage checkpoint).
+    asg = asg.persist()
     # exact-sha blocks are never salted apart (their pairs are stars anyway);
     # similarity blocks get capped
     sha_part = asg.where(F.col("block_key").startswith("sha:"))

@@ -55,9 +55,11 @@ def build_pair_features(
     cosine and jaccard both come from one batched UDF over terms/weights — the
     wide shingle arrays never enter the pair join).
     """
+    # the features⋈vectors frame probes the pair table twice (a-side and b-side);
+    # persist so the join runs once (plan trees duplicate unshared subtrees)
     feat = features.join(vectors, "unique_id", "left").select(
         "unique_id", "lang", "content_sha", "stem", "terms", "weights"
-    )
+    ).persist()
     a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
     b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
     p = (
