@@ -101,6 +101,24 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hashed_shingles(tok: Column, k: int = 5) -> Column:
+    """Sorted distinct xxhash64 of each k-token window — hashes the slice array
+    directly (no per-window string materialization). Documents shorter than k
+    tokens hash their whole token sequence, so short files still compare.
+    ``tok`` must be a bound column reference (see pipeline.extract_features on
+    HOF-lambda re-evaluation)."""
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (k - 1)),
+        lambda i: F.xxhash64(F.slice(tok, i, k)),
+    )
+    short = F.when(F.size(tok) > 0, F.array(F.xxhash64(tok))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return F.array_sort(
+        F.array_distinct(F.when(F.size(tok) >= k, windows).otherwise(short))
+    )
+
+
 def rolling_fingerprints(tok: Column, window: int = 8, keep_every: int = 16) -> Column:
     """Document fingerprinting (winnowing-lite): hash every ``window``-token shingle,
     keep hashes ≡ 0 (mod keep_every) — a deterministic content-defined sample used

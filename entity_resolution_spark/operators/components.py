@@ -58,18 +58,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    target_rows_per_partition: int = 250_000,
 ) -> DataFrame:
     """Edge DataFrame → component labels ``(id, component)``.
 
     ``component`` is the min node id of the component. Nodes appear iff they appear
     in ``edges``; union isolated vertices downstream (see :func:`label_components`).
+
+    The loop is latency-sensitive (each round is a driver-synchronized barrier),
+    so edges are re-partitioned to ≈``target_rows_per_partition`` rows/partition
+    first: a 500k-edge graph runs its ~log(diameter) rounds on a handful of
+    partitions instead of paying per-task scheduling on hundreds of slivers,
+    while a 10^12-edge graph still fans out to thousands of partitions.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     ).distinct()
-    e = e.localCheckpoint(eager=True)
-    if not e.take(1):
+    n_edges = e.count()
+    if n_edges == 0:
         return e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    n_parts = max(2, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                         n_edges // target_rows_per_partition + 1))
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prev_parts = e.sparkSession.conf.get(shuffle_conf)
+    e.sparkSession.conf.set(shuffle_conf, str(n_parts))
+    try:
+        return _cc_loop(e.repartition(n_parts, "src"), max_iterations)
+    finally:
+        e.sparkSession.conf.set(shuffle_conf, prev_parts)
+
+
+def _cc_loop(e: DataFrame, max_iterations: int) -> DataFrame:
+    e = e.localCheckpoint(eager=True)
 
     prev_sig = None
     for _ in range(max_iterations):

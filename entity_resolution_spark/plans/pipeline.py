@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from entity_resolution_spark.functions import text as TX
 from entity_resolution_spark.functions.hashing import (
     content_sha,
+    hashed_shingles,
     rolling_fingerprints,
     unique_id,
 )
@@ -95,11 +96,7 @@ def extract_features(
         "content_sha",
         "stem",
         "path_toks",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(TX.shingles(toks, cfg.shingle_k), lambda s: F.xxhash64(s))
-            )
-        ).alias("shingles"),
+        hashed_shingles(toks, cfg.shingle_k).alias("shingles"),
         rolling_fingerprints(toks).alias("fingerprints"),
         F.size(toks).cast("long").alias("n_tokens"),
     )

@@ -34,12 +34,14 @@ spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(
 repo_files = spark.read.parquet(parquet_dir)
 n_files = repo_files.count()
 
+tm = {{}}
 t0 = time.monotonic()
-out = resolve(spark, repo_files, PipelineConfig())
+out = resolve(spark, repo_files, PipelineConfig(), eager=True, timings=tm)
 n_clusters = out["clusters"].select("cluster_id").distinct().count()
 wall = time.monotonic() - t0
 print(json.dumps({{"cores": cores, "files": n_files, "wall_sec": wall,
-                   "files_per_sec": n_files / wall, "clusters": n_clusters}}))
+                   "files_per_sec": n_files / wall, "clusters": n_clusters,
+                   "stage_sec": tm}}))
 """
 
 
@@ -72,6 +74,34 @@ def main() -> int:
 
     child_src = CHILD.format(repo=REPO)
     core_list = [int(c) for c in args.cores.split(",")]
+
+    # hardware-ceiling probe: N vs 4N raw CPU processes on this (SHARED) host.
+    # Whatever the pipeline measures is bounded above by this number — external
+    # tenant load means the machine itself may not deliver 4x the cores.
+    def hw_ceiling(lo_n: int, hi_n: int) -> dict:
+        import multiprocessing as mp
+        import time as _t
+
+        def spin(q):
+            t0 = _t.time()
+            n = 0
+            while _t.time() - t0 < 3.0:
+                sum(i * i for i in range(10000))
+                n += 1
+            q.put(n)
+
+        out = {}
+        for procs in (lo_n, hi_n):
+            q = mp.Queue()
+            ps = [mp.Process(target=spin, args=(q,)) for _ in range(procs)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            out[procs] = sum(q.get() for _ in ps)
+        ceiling = (out[hi_n] / out[lo_n]) / (hi_n / lo_n)
+        return {"raw": out, "ceiling_efficiency": round(ceiling, 3)}
+
+    ceiling = hw_ceiling(core_list[0], core_list[-1])
+    print(json.dumps({"hw_ceiling": ceiling}), flush=True)
     runs: dict[int, list[dict]] = {c: [] for c in core_list}
     for rep in range(args.repeats):
         for cores in core_list:
@@ -121,6 +151,10 @@ def main() -> int:
             f"Each config ran {args.repeats}× alternating; best (min-wall) sample shown —\n"
             "the sandbox host is SHARED and external tenant load (recorded below)\n"
             "perturbs wall time, so min-of-N approximates the uncontended job.\n\n"
+            f"Hardware ceiling measured at bench time (raw CPU processes, {core_list[0]}→{core_list[-1]}):\n"
+            f"max attainable scaling efficiency on this host = **{ceiling['ceiling_efficiency']}**\n"
+            f"(raw aggregate iterations: {ceiling['raw']}). Job efficiency should be read\n"
+            "against this ceiling, not against an ideal 1.0.\n\n"
             "| cores | wall (s) | files/sec | clusters | host load before |\n|---|---|---|---|---|\n"
             + "".join(
                 f"| local[{r['cores']}] | {r['wall_sec']:.1f} | {r['files_per_sec']:.1f} | {r['clusters']} | {r.get('host_load_before', '?')} |\n"
