@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # local-mode shuffle goes through spark.local.dir; the sandbox disk writes at
+    # ~260 MB/s while /dev/shm does ~1.8 GB/s — a wide-row shuffle (pair-feature
+    # arrays) is disk-bound otherwise. On a real cluster this is NVMe scratch +
+    # netty shuffle, so this knob is local-mode only.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
