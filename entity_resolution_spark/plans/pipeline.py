@@ -50,8 +50,15 @@ class PipelineConfig:
     shingle_k: int = 5
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scorer: ScorerWeights = field(default_factory=ScorerWeights)
-    min_df: int = 1
+    # min_df=2 prunes hapax shingles from the TF-IDF vectors. df=1 terms appear
+    # in exactly one document, so they contribute 0 to every pair dot product —
+    # pruning is lossless for the cosine numerator and only shrinks norms/unions,
+    # i.e. scores can only rise. It is also the big payload lever: the pair join
+    # ships these arrays, and the hapax tail is the bulk of the vocabulary
+    # (reference analog: TfidfVectorizer min_df=5, am_combiner/dataloop.py:33-36).
+    min_df: int = 2
     max_df_frac: float = 1.0
+    tfidf_top_k: int | None = None   # optional hard cap for pathological rows
     use_splitter: bool = True        # negative-evidence: lang mismatch breaks edges
 
 
@@ -138,7 +145,8 @@ def resolve(
     vectors = stage(
         "vectors",
         lambda: tfidf_vectors(
-            features, "unique_id", "shingles", cfg.min_df, cfg.max_df_frac
+            features, "unique_id", "shingles", cfg.min_df, cfg.max_df_frac,
+            top_k=cfg.tfidf_top_k,
         ),
     )
     assignments = stage(

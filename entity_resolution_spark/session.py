@@ -47,7 +47,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # tokenization/shingling costs ~100× the scan I/O per byte, so scan
+        # partitions must be small enough to use every core (158 MB of snappy
+        # parquet at the default 128 MB yields 8 partitions — an 8-way cap on
+        # the feature stage no matter the executor count). 8 MB ≈ one compressed
+        # partition per ~2-3s of feature compute.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     # local-mode shuffle goes through spark.local.dir; the sandbox disk writes at
     # ~260 MB/s while /dev/shm does ~1.8 GB/s — a wide-row shuffle (pair-feature

@@ -25,7 +25,7 @@ def test_tfidf_unit_norm_and_idf(spark):
     vec = {r["unique_id"]: r for r in tfidf_vectors(docs, "unique_id", "toks").collect()}
     for r in vec.values():
         norm = math.sqrt(sum(w * w for w in r["weights"]))
-        assert abs(norm - 1.0) < 1e-9
+        assert abs(norm - 1.0) < 1e-6  # weights are float32
         assert list(r["terms"]) == sorted(r["terms"])
 
 
