@@ -28,6 +28,7 @@ def tfidf_vectors(
     min_df: int = 1,
     max_df_frac: float = 1.0,
     top_k: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """(id, array<string> terms) → (id, terms array<long>, weights array<double>).
 
@@ -47,6 +48,8 @@ def tfidf_vectors(
         # explode+groupBy (the expensive half of TF-IDF) runs once, not twice
         .persist()
     )
+    if persisted is not None:
+        persisted.append(tf)  # caller releases once downstream is materialized
     df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
     if max_df_frac < 1.0:
         df_ = df_.where(F.col("_df") <= int(max_df_frac * n_docs))

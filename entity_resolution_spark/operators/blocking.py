@@ -132,7 +132,11 @@ def apply_block_caps(assignments: DataFrame, cap: int, salt_col: str = "unique_i
     return joined.select(F.col("unique_id"), salted.alias("block_key"))
 
 
-def block_assignments(features: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+def block_assignments(
+    features: DataFrame,
+    cfg: BlockingConfig | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
     """Union of all key families → capped (unique_id, block_key) assignments.
 
     ``features`` must carry: unique_id, lang, content_sha, path_toks, shingles.
@@ -153,6 +157,8 @@ def block_assignments(features: DataFrame, cfg: BlockingConfig | None = None) ->
     # materialization boundary the whole minhash subtree executes 3×. persist()
     # collapses that to once (at cluster scale this is the stage checkpoint).
     asg = asg.persist()
+    if persisted is not None:
+        persisted.append(asg)  # caller releases once downstream is materialized
     # exact-sha blocks are never salted apart (their pairs are stars anyway);
     # similarity blocks get capped
     sha_part = asg.where(F.col("block_key").startswith("sha:"))

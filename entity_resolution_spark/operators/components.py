@@ -71,26 +71,32 @@ def connected_components(
     partitions instead of paying per-task scheduling on hundreds of slivers,
     while a 10^12-edge graph still fans out to thousands of partitions.
     """
+    # persist BEFORE the sizing count: the input subtree (often an expensive
+    # similarity join) would otherwise execute twice — once for count(), once
+    # for the eager checkpoint that seeds the loop
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
-    ).distinct()
+    ).distinct().persist()
     n_edges = e.count()
     if n_edges == 0:
-        return e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        out = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        e.unpersist()
+        return out
     n_parts = max(2, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
                          n_edges // target_rows_per_partition + 1))
     shuffle_conf = "spark.sql.shuffle.partitions"
     prev_parts = e.sparkSession.conf.get(shuffle_conf)
     e.sparkSession.conf.set(shuffle_conf, str(n_parts))
     try:
-        return _cc_loop(e.repartition(n_parts, "src"), max_iterations)
+        seed = e.repartition(n_parts, "src").localCheckpoint(eager=True)
+        e.unpersist()
+        return _cc_loop(seed, max_iterations)
     finally:
         e.sparkSession.conf.set(shuffle_conf, prev_parts)
 
 
 def _cc_loop(e: DataFrame, max_iterations: int) -> DataFrame:
-    e = e.localCheckpoint(eager=True)
-
+    """``e`` must already be materialized (checkpointed) by the caller."""
     prev_sig = None
     for _ in range(max_iterations):
         e = _large_star(e)

@@ -76,26 +76,72 @@ def jaccard_pairs(
             F.array_sort(F.array_distinct(TX.shingles(F.col("_tk"), ngram))).alias("_toks"),
         )
     base = base.withColumn("_n", F.size("_toks"))
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_blk"), F.col("_toks").alias("_toks_a"),
-        F.col("_n").alias("_na"),
+
+    # --- Exact prefix-filter candidate generation (AllPairs/PPJoin, Xiao et al.
+    # WWW'08 Lemma 1; Chaudhuri et al. ICDE'06) — replaces the quadratic
+    # within-block self-join. Tokens get a global per-block order by ascending
+    # document frequency (rarest first, ties by token). Per doc of size n the
+    # prefix is its first  p = n - ceil(t·n) + 1  tokens in that order; two sets
+    # with J ≥ t MUST share a prefix token (with the length filter |B| ≥ t·|A|,
+    # the common-overlap bound α = ceil(t/(1+t)·(|A|+|B|)) ≥ ceil(t·|X|) for
+    # both sides, so these per-set prefixes are at least the lemma's lengths).
+    # Candidates are therefore the prefix-token inverted-index join — linear in
+    # posting-list sizes, not block size² — and the exact jaccard verify keeps
+    # the output set bit-identical to the brute-force definition.
+    base = base.persist()
+    toks_x = base.select("_blk", F.col("_id"), F.explode("_toks").alias("_t"))
+    dfreq = toks_x.groupBy("_blk", "_t").agg(F.count("*").alias("_df"))
+    ordered = (
+        toks_x.join(dfreq, ["_blk", "_t"])
+        .groupBy("_blk", "_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_t")))
+            ).alias("_ord")
+        )
+        .select("_blk", "_id", F.col("_ord._t").alias("_otoks"))
     )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_blk"), F.col("_toks").alias("_toks_b"),
-        F.col("_n").alias("_nb"),
+    prefix_len = (
+        F.size("_otoks") - F.ceil(F.lit(threshold) * F.size("_otoks")) + 1
+    ).cast("int")
+    postings = ordered.select(
+        "_blk",
+        "_id",
+        F.size("_otoks").alias("_n"),
+        F.col("_otoks"),
+        F.explode(F.slice("_otoks", 1, prefix_len)).alias("_pt"),
     )
-    # length-ratio prefilter: jaccard ≥ t ⟹ min(|a|,|b|) ≥ t·max(|a|,|b|).
-    # Provably drops no qualifying pair; prunes the quadratic join before the
-    # expensive array_intersect (cheap scalar predicate, whole-stage codegen).
-    return (
-        a.join(b, "_blk")
+    pa = postings.select(
+        "_blk", "_pt", F.col("_id").alias("id_a"), F.col("_n").alias("_na")
+    )
+    pb = postings.select(
+        "_blk", "_pt", F.col("_id").alias("id_b"), F.col("_n").alias("_nb")
+    )
+    cand = (
+        pa.join(pb, ["_blk", "_pt"])
         .where(F.col("id_a") < F.col("id_b"))
+        # length-ratio filter: jaccard ≥ t ⟹ min(|a|,|b|) ≥ t·max(|a|,|b|) —
+        # applied on the posting join before the distinct shuffle
         .where(
             F.least("_na", "_nb").cast("double")
             >= threshold * F.greatest("_na", "_nb")
         )
-        # |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one array_intersect instead
-        # of intersect + union (≈2× less per-pair work in the quadratic hot loop)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_toks").alias("_toks_a"),
+        F.col("_n").alias("_na"),
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_toks").alias("_toks_b"),
+        F.col("_n").alias("_nb"),
+    )
+    # |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one array_intersect instead
+    # of intersect + union per verified pair
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -47,6 +47,7 @@ def build_pair_features(
     pairs: DataFrame,
     features: DataFrame,
     vectors: DataFrame,
+    persisted: list | None = None,
 ) -> DataFrame:
     """pairs(id_a, id_b, is_exact) ⋈ features ⋈ vectors → per-pair feature columns.
 
@@ -60,6 +61,8 @@ def build_pair_features(
     feat = features.join(vectors, "unique_id", "left").select(
         "unique_id", "lang", "content_sha", "stem", "terms", "weights"
     ).persist()
+    if persisted is not None:
+        persisted.append(feat)  # caller releases once downstream is materialized
     a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
     b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
     p = (
@@ -77,9 +80,11 @@ def build_pair_features(
         jaro_winkler_udf("stem_a", "stem_b").alias("jw_stem"),
         levenshtein_sim(F.col("stem_a"), F.col("stem_b")).alias("lev_stem"),
         (F.col("lang_a") == F.col("lang_b")).cast("double").alias("same_lang"),
-        (
-            F.col("is_exact") | (F.col("content_sha_a") == F.col("content_sha_b"))
-        ).cast("double").alias("exact"),
+        # "exact" (weight 20 ≈ a forced merge) requires FULL 256-bit sha equality.
+        # The sha-prefix block key (is_exact pairs) is blocking-only: a 48-bit
+        # prefix collision at ~2^24 docs would otherwise silently merge distinct
+        # contents; here it just costs one scored candidate pair.
+        (F.col("content_sha_a") == F.col("content_sha_b")).cast("double").alias("exact"),
     )
 
 

@@ -66,7 +66,8 @@ def blocked_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
+    target_bucket_size: int = 2000,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold via bucket-pair blocked matrix products.
 
@@ -83,6 +84,13 @@ def blocked_cosine_pairs(
     """
     import numpy as np
     import pandas as pd
+
+    if n_buckets is None:
+        # P grows with N so tile size (≈ (N/P)² dots) and per-tile memory stay
+        # bounded as the corpus scales; replication cost is P× per vector, so P
+        # tracks N/target rather than a fixed constant.
+        n = vectors.count()
+        n_buckets = max(4, -(-n // target_bucket_size))
 
     b = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
     base = vectors.select(
@@ -104,11 +112,22 @@ def blocked_cosine_pairs(
 
     th = float(threshold)
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
     def tile(pdf: pd.DataFrame) -> pd.DataFrame:
         p1 = int(pdf["_p1"].iloc[0])
         p2 = int(pdf["_p2"].iloc[0])
         left = pdf[pdf["_b"] == p1]
         ids_l = left["_id"].to_numpy()
+        # emptiness guards BEFORE np.stack (np.stack raises on an empty slice —
+        # a bucket can be empty whenever n_vectors < n_buckets)
+        if p1 == p2 and len(ids_l) < 2:
+            return _empty()
+        if not len(ids_l):
+            return _empty()
         m_l = np.stack(left["_v"].to_numpy()).astype(np.float64)
         norms_l = np.linalg.norm(m_l, axis=1)
         norms_l[norms_l == 0] = 1.0
@@ -122,14 +141,12 @@ def blocked_cosine_pairs(
         else:
             right = pdf[pdf["_b"] == p2]
             ids_r = right["_id"].to_numpy()
+            if not len(ids_r):
+                return _empty()
             m_r = np.stack(right["_v"].to_numpy()).astype(np.float64)
             norms_r = np.linalg.norm(m_r, axis=1)
             norms_r[norms_r == 0] = 1.0
             m_r = m_r / norms_r[:, None]
-            if not len(ids_l) or not len(ids_r):
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-                )
             sims = m_l @ m_r.T
             ii, jj = np.where(sims >= th)
             ia, jb = ids_l[ii], ids_r[jj]

@@ -58,7 +58,12 @@ class PipelineConfig:
     # (reference analog: TfidfVectorizer min_df=5, am_combiner/dataloop.py:33-36).
     min_df: int = 2
     max_df_frac: float = 1.0
-    tfidf_top_k: int | None = None   # optional hard cap for pathological rows
+    # Hard cap on TF-IDF vector width (top-k by weight, renormalized). The pair
+    # join ships terms/weights arrays through the shuffle TWICE — unbounded
+    # vectors made match_edges shuffle-payload-bound (flat 4→16 cores, BENCH
+    # round 1). 128 is the largest sweep value holding the e2e F1 gate at 1.0
+    # (sweep None/256/128 → 1.0, 64 → 0.9927, 32 → 0.9468; tools/debug_recall.py).
+    tfidf_top_k: int | None = 128
     use_splitter: bool = True        # negative-evidence: lang mismatch breaks edges
 
 
@@ -124,7 +129,9 @@ def resolve(
     guarded) — the reference's cache-resume pattern generalized.
     """
     cfg = cfg or PipelineConfig()
-    sig = "v1"  # bumped when pipeline logic changes; a content hash at production scale
+    sig = "v2"  # bumped when pipeline logic changes; a content hash at production scale
+    persisted: list = []  # intermediates to unpersist via release() — a long-lived
+    # session (streaming foreachBatch) would otherwise accumulate cached frames
 
     def stage(name: str, compute):
         import time as _time
@@ -135,6 +142,7 @@ def resolve(
         else:
             # no store: cache the stage so downstream actions don't recompute the DAG
             out = compute().persist()
+            persisted.append(out)
             if eager:
                 out.count()
         if timings is not None:
@@ -146,16 +154,17 @@ def resolve(
         "vectors",
         lambda: tfidf_vectors(
             features, "unique_id", "shingles", cfg.min_df, cfg.max_df_frac,
-            top_k=cfg.tfidf_top_k,
+            top_k=cfg.tfidf_top_k, persisted=persisted,
         ),
     )
     assignments = stage(
-        "assignments", lambda: block_assignments(features, cfg.blocking)
+        "assignments",
+        lambda: block_assignments(features, cfg.blocking, persisted=persisted),
     )
     pairs = stage("candidate_pairs", lambda: candidate_pairs(assignments))
 
     def compute_edges():
-        pf = build_pair_features(pairs, features, vectors)
+        pf = build_pair_features(pairs, features, vectors, persisted=persisted)
         scored = logistic_score(pf, cfg.scorer)
         block_sizes = (
             assignments.groupBy("block_key")
@@ -195,7 +204,20 @@ def resolve(
         "pairs": pairs,
         "edges": edges,
         "clusters": clusters,
+        "_persisted": persisted,
     }
+
+
+def release(out: dict) -> None:
+    """Unpersist every frame a :func:`resolve` call cached (stage outputs and
+    internal intermediates). Call once downstream consumers are done — mandatory
+    in per-micro-batch use (streaming) where cached frames would otherwise
+    accumulate for the life of the session."""
+    for df in out.get("_persisted", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def audit_content_sha(repo_files: DataFrame, clusters: DataFrame) -> int:

@@ -227,10 +227,23 @@ def q_quality_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["stopword_ratio"].alias("_sr"),
         q["mean_token_len"].alias("_mtl"),
     )
+    # avg() over doubles is partition-order-dependent in the last ulp and can flip
+    # the rounded 6th decimal between engines (the round-1 hash mismatch). The
+    # per-doc ratios are bit-identical in Spark and DuckDB (same integer inputs,
+    # one IEEE division), so summing them as fixed-scale DECIMALs makes the
+    # aggregate exact and order-insensitive; one double division + round at the
+    # end is then bit-stable. (A double→decimal(28,10) tie is impossible: it
+    # would need the double to be odd/(2·10^10), whose denominator has a factor
+    # 5^10 and is therefore not representable in binary.)
+    dec = "decimal(28,10)"
     return per_doc.groupBy("lang").agg(
         F.sum("_nt").alias("total_tokens"),
-        F.round(F.avg("_sr"), 6).alias("avg_stopword_ratio"),
-        F.round(F.avg("_mtl"), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(F.col("_sr").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("avg_stopword_ratio"),
+        F.round(
+            F.sum(F.col("_mtl").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("avg_token_len"),
     )
 
 
@@ -254,8 +267,10 @@ WITH toks AS (
   FROM toks
 )
 SELECT lang, sum(nt) AS total_tokens,
-       round(avg(sr), 6) AS avg_stopword_ratio,
-       round(avg(mtl), 6) AS avg_token_len
+       round(CAST(sum(CAST(sr AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+         AS avg_stopword_ratio,
+       round(CAST(sum(CAST(mtl AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+         AS avg_token_len
 FROM per_doc GROUP BY lang
 """
 

@@ -72,20 +72,57 @@ def match_new_records_foreach_batch(
     output_path: str,
     cfg: PipelineConfig | None = None,
 ):
-    """foreachBatch body: resolve each micro-batch of new records against itself
-    plus the persisted cluster table (read fresh per batch) using the batch
-    operators, append new assignments. Returns the callable for
-    ``writeStream.foreachBatch``."""
+    """foreachBatch body: resolve each micro-batch of new records against the
+    persisted record/cluster table at ``existing_clusters_path`` (read fresh per
+    batch), so a record arriving in batch N joins the entity it matches from any
+    earlier batch instead of fragmenting into a per-batch cluster.
+
+    Per batch: union prior records (kept alongside their assignments in the
+    cluster table) with the new ones, run the batch ``resolve`` on the union,
+    overwrite the cluster table with the reconciled snapshot, and append ONLY
+    the new records' assignments (+ epoch) to ``output_path``. Cluster ids are
+    min-member-derived, so merging a new record into an existing entity updates
+    that entity's id deterministically on both old and new rows in the snapshot.
+
+    Scale note: this re-resolves the accumulated corpus each batch — correct and
+    simple; production would resume from the feature/edge checkpoints
+    (CheckpointStore) so only blocks touched by the batch recompute. Returns the
+    callable for ``writeStream.foreachBatch``.
+    """
     cfg = cfg or PipelineConfig()
+    raw_cols = ["repo", "path", "commit", "lang", "content"]
 
     def _body(batch_df: DataFrame, epoch_id: int) -> None:
-        from entity_resolution_spark.plans.pipeline import resolve
+        from entity_resolution_spark.functions.hashing import unique_id
+        from entity_resolution_spark.plans.pipeline import release, resolve
 
         if not batch_df.take(1):
             return
-        out = resolve(spark, batch_df.drop("event_time"), cfg)
+        new = batch_df.drop("event_time").select(*raw_cols)
+        try:
+            prior = spark.read.parquet(existing_clusters_path).select(*raw_cols)
+        except Exception:
+            prior = None
+        full = (
+            new if prior is None
+            else prior.unionByName(new).dropDuplicates(["repo", "path", "commit"])
+        )
+        out = resolve(spark, full, cfg)
+        snap = (
+            full.withColumn("unique_id", unique_id())
+            .join(
+                out["clusters"].select("unique_id", "content_sha", "cluster_id"),
+                "unique_id",
+            )
+        )
+        # materialize + cut lineage BEFORE overwriting the table the plan reads
+        snap = snap.localCheckpoint(eager=True)
+        release(out)
+        snap.write.mode("overwrite").parquet(existing_clusters_path)
+        new_ids = new.select(unique_id().alias("unique_id"))
         (
-            out["clusters"]
+            snap.join(new_ids, "unique_id", "left_semi")
+            .select("unique_id", "lang", "content_sha", "cluster_id")
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("append")
             .parquet(output_path)

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.streaming.incremental import (
+    match_new_records_foreach_batch,
     stream_block_counts,
     stream_exact_dedup,
     stream_ingest_features,
@@ -76,3 +77,49 @@ def test_stream_block_counts(spark, landing):
     q.stop()
     rows = {r["lang"]: r["n_records"] for r in spark.sql("SELECT * FROM counts_out").collect()}
     assert rows == {"python": 2, "go": 1}
+
+
+def test_incremental_match_joins_prior_batch_entity(spark, tmp_path):
+    """A record arriving in batch 2 must land in the SAME cluster as its batch-1
+    entity (the matcher resolves against the persisted cluster table, not just
+    the micro-batch)."""
+    clusters_path = str(tmp_path / "cluster_table")
+    output_path = str(tmp_path / "assignments")
+    body = match_new_records_foreach_batch(spark, clusters_path, output_path)
+
+    schema = (
+        "repo string, path string, commit string, lang string, content string, "
+        "event_time timestamp"
+    )
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    content_a = "def alpha():\n    return compute_alpha_value(1, 2, 3)\n" * 3
+    content_b = "package mainlib\nfunc beta() int { return computeBeta(7) }\n" * 3
+    batch1 = spark.createDataFrame(
+        [
+            ("org/a", "src/alpha.py", "c1", "python", content_a, t0),
+            ("org/b", "lib/beta.go", "c2", "go", content_b, t0),
+        ],
+        schema,
+    )
+    # batch 2: exact duplicate of the batch-1 alpha entity, new commit/path
+    batch2 = spark.createDataFrame(
+        [("org/fork", "src/alpha.py", "c9", "python", content_a, t0)],
+        schema,
+    )
+    body(batch1, 0)
+    body(batch2, 1)
+
+    snap = spark.read.parquet(clusters_path)
+    assert snap.count() == 3
+    by_sha = (
+        snap.groupBy("content_sha")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"), F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {r["n"]: r["n_clusters"] for r in by_sha}
+    # the two alpha records (one per batch) share one cluster; beta is alone
+    assert counts == {2: 1, 1: 1}
+    # per-epoch append holds only the new records of each batch
+    out = spark.read.parquet(output_path)
+    assert out.where(F.col("epoch") == 0).count() == 2
+    assert out.where(F.col("epoch") == 1).count() == 1

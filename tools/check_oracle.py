@@ -21,6 +21,9 @@ TABLES = [
 ]
 
 
+EXACT_FLOATS = False
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -28,7 +31,10 @@ def norm_cell(v):
         # normalize -0.0 and represent at fixed precision (both sides pre-round)
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        # --exact reproduces the driver's bit-level hash (full float repr);
+        # default %.9g is the lenient mode that hid the round-1
+        # quality_stats_lang mismatch
+        return repr(v) if EXACT_FLOATS else f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -47,7 +53,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--exact", action="store_true",
+                    help="compare floats at full precision (driver-strict)")
     args = ap.parse_args()
+    global EXACT_FLOATS
+    EXACT_FLOATS = args.exact
 
     import duckdb
 
