@@ -42,7 +42,72 @@ HEADLINE = [
     "simhash_near_dup",
     "lsh_ann_topk",
     "er_resolve_docs",
+    "er_resolve_docs_exact",
 ]
+
+
+def recall_gates(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Driver-visible recall of every sketch/approximate operator against its
+    exact counterpart at sf0.01 (small enough that the exact computation is
+    cheap). The sketch outputs are verified subsets of the candidate space, so
+    recall = |approx| / |exact| for the pair operators and top-k overlap for ANN.
+    """
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dup_pairs,
+        simhash_dup_pairs,
+    )
+    from entity_resolution_spark.functions import text as TX
+    from entity_resolution_spark.functions.hashing import hamming64, simhash64, simhash_fold
+    from entity_resolution_spark.operators.similarity import brute_force_topk
+    from entity_resolution_spark.queries import QUERIES as _Q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out: dict[str, float] = {}
+
+    # MinHash-LSH vs exact 3-gram jaccard at the same verify threshold. Both
+    # paths verify with the exact jaccard on identical shingle sets, so the LSH
+    # output is a subset of the exact set and recall is a pure band-miss rate.
+    approx = minhash_lsh_dup_pairs(docs, shingle_k=3, verify_threshold=0.5)
+    exact = jaccard_pairs(docs, "doc_id", "text", block_col=None,
+                          threshold=0.5, ngram=3)
+    n_exact = exact.count()
+    n_hit = approx.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").count()
+    out["minhash_near_dup_recall"] = round(n_hit / n_exact, 4) if n_exact else 1.0
+
+    # SimHash banding vs exact Hamming-<=6 over all sketch pairs (the 8x8-bit
+    # band schedule is complete for d < 8, so this asserts 1.0).
+    exploded = docs.select(F.col("doc_id").alias("_id"),
+                           F.explode(TX.distinct_tokens(F.col("text"))).alias("_t"))
+    sketch = exploded.groupBy("_id").agg(*simhash64(F.col("_t"))).select(
+        "_id", simhash_fold().alias("_sim"))
+    a = sketch.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sa"))
+    b = sketch.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sb"))
+    exact_sh = (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .where(hamming64(F.col("_sa"), F.col("_sb")) <= 6)
+    )
+    n_exact = exact_sh.count()
+    approx_sh = simhash_dup_pairs(docs, max_hamming=6)
+    n_hit = approx_sh.join(
+        exact_sh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).count()
+    out["simhash_near_dup_recall"] = round(n_hit / n_exact, 4) if n_exact else 1.0
+
+    # Hyperplane-LSH ANN vs brute-force cosine top-k: per-probe overlap of the
+    # returned neighbor sets.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    probes = emb.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    # same operator + plane/table schedule the driver query runs
+    ann = _Q["lsh_ann_topk"](spark, sf_dir).select("probe_id", "neighbor_id")
+    n_truth = truth.count()
+    n_hit = ann.join(truth, ["probe_id", "neighbor_id"], "left_semi").count()
+    out["lsh_ann_topk_recall"] = round(n_hit / n_truth, 4) if n_truth else 1.0
+    return out
 
 
 def main() -> int:
@@ -68,6 +133,14 @@ def main() -> int:
             times[name] = -1.0
             print(f"# {name}: ERROR {e}", file=sys.stderr)
 
+    try:
+        recalls = recall_gates(spark)
+        for k, v in recalls.items():
+            print(f"# recall {k}: {v}", file=sys.stderr)
+    except Exception as e:
+        recalls = {"error": str(e)}
+        print(f"# recall gates ERROR {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -75,6 +148,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "recall": recalls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.hashing import band_keys, minhash_signature
@@ -130,6 +130,213 @@ def apply_block_caps(assignments: DataFrame, cap: int, salt_col: str = "unique_i
         )
     )
     return joined.select(F.col("unique_id"), salted.alias("block_key"))
+
+
+def cutoff_harvest_blocks(
+    records: DataFrame,
+    feature_cols: list[str],
+    th_schedule: list[int],
+    cluster_cutoff: int,
+    id_col: str = "unique_id",
+    type_col: str | None = None,
+) -> DataFrame:
+    """Multi-pass blocking with cluster-size cutoff harvesting → (id, block_key).
+
+    The reference's ``FeatureBasedNameBlockerWithCutoff``
+    (``am_combiner/blockers/common.py:100-201``), re-expressed as a driver loop
+    over DataFrame passes. For each feature count i (growing feature set) and
+    each threshold th descending from ``th_schedule[i]`` to 1:
+
+    - build intersection edges over ``feature_cols[:i+1]`` on the RECORDS NOT
+      YET BLOCKED, where the newest feature's contribution only counts with
+      weight ≥ th (earlier features count at any weight — the reference zeroes
+      sub-threshold entries of the last matrix before summing);
+    - connected components; every component of size ≥ ``cluster_cutoff`` is
+      harvested as one block and its records leave the loop;
+    - the final pass (last feature, th=1) harvests everything (cutoff forced
+      to 0, ``blockers/common.py:193-195``) — guaranteed termination.
+
+    Early high-threshold passes carve out the tightest groups before looser
+    evidence can glue them into giant blocks — this is the recall-preserving
+    alternative to hash-salting a block apart. Block key = ``{type}-{min
+    member id}`` (deterministic under any partitioning; harvested member sets
+    are disjoint so keys never collide). Each pass is a bounded shuffle job;
+    the loop is the reference's own pass structure, not per-record iteration.
+    """
+    from entity_resolution_spark.operators.adjacency import feature_intersection_edges
+    from entity_resolution_spark.operators.components import connected_components
+
+    assert len(feature_cols) == len(th_schedule), "feature and threshold counts must match"
+
+    # type-scope the records so components never cross record types (the
+    # reference blocks each object_type dict entry independently): the CC node
+    # id is a composite (type, id), and feature values are prefixed with the
+    # type at explode time below, so cross-type value collisions produce no edge
+    typ = F.col(type_col) if type_col else F.lit("block")
+    work = records.select(
+        F.col(id_col).alias("_id"),
+        typ.cast("string").alias("_type"),
+        *[
+            F.transform(
+                F.col(fc),
+                lambda v: F.concat_ws("\x1f", typ.cast("string"), v.cast("string")),
+            ).alias(fc)
+            for fc in feature_cols
+        ],
+    )
+    work = work.withColumn("_tid", F.concat_ws("\x1f", "_type", "_id"))
+    work = work.localCheckpoint(eager=True)
+
+    harvested: list[DataFrame] = []
+    n_feats = len(feature_cols)
+    for i in range(n_feats):
+        feats = feature_cols[: i + 1]
+        last = feats[-1]
+        for th in range(th_schedule[i], 0, -1):
+            final_pass = i == n_feats - 1 and th == 1
+            cutoff = 0 if final_pass else cluster_cutoff
+            ef = feature_intersection_edges(
+                work, feats, id_col="_tid", per_feature=True
+            )
+            edges = (
+                ef.where((F.col("feature") != last) | (F.col("weight") >= th))
+                .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+                .distinct()
+            )
+            labels = connected_components(edges)
+            comp = (
+                work.join(labels, work["_tid"] == labels["id"], "left")
+                .select(
+                    work["_id"], work["_type"], work["_tid"],
+                    F.coalesce(F.col("component"), work["_tid"]).alias("_comp"),
+                )
+            ).persist()
+            sizes = comp.groupBy("_comp").agg(F.count("*").alias("_cs"))
+            harvest = (
+                comp.join(sizes, "_comp")
+                .where(F.col("_cs") >= F.lit(max(cutoff, 1)))
+            )
+            min_ids = harvest.groupBy("_comp").agg(F.min("_id").alias("_rep"))
+            block = (
+                harvest.join(min_ids, "_comp")
+                .select(
+                    F.col("_id").alias(id_col),
+                    F.concat_ws("-", "_type", "_rep").alias("block_key"),
+                    "_tid",
+                )
+            ).localCheckpoint(eager=True)
+            harvested.append(block.select(id_col, "block_key"))
+            work = (
+                work.join(block.select("_tid"), "_tid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            comp.unpersist()
+            if final_pass or not work.take(1):
+                break
+        if not work.take(1):
+            break
+
+    out = harvested[0]
+    for h in harvested[1:]:
+        out = out.unionByName(h)
+    return out
+
+
+def split_oversized_blocks_by_key(
+    records: DataFrame,
+    edges: DataFrame,
+    min_split_size: int = 1000,
+    id_col: str = "unique_id",
+    block_col: str = "block_key",
+    keys_col: str = "split_keys",
+    null_key: str = "00",
+) -> DataFrame:
+    """Split blocks larger than ``min_split_size`` by a secondary key, assigning
+    ambiguous records to the sub-block with maximal mean edge connectivity.
+
+    The reference's ``CountryBlocker`` (``am_combiner/blockers/country.py:19-126``)
+    re-expressed relationally — the recall-preserving alternative to id-hash
+    salting for that key family:
+
+    - a record with exactly ONE secondary key joins that key's sub-block;
+    - a record with SEVERAL keys joins, among its own keys, the one maximizing
+      mean connectivity = |edges to that key's single-key members| / |that
+      key's single-key members| (``country.py:55-65``);
+    - a record with NO key considers its graph-neighbors' keys (or ``00`` when
+      isolated), same argmax;
+    - ties break on the smallest key (the reference sorts candidates then takes
+      ``np.argmax``'s first maximum).
+
+    ``records``: (id_col, block_col, keys_col array<string>); ``edges``:
+    (id_a, id_b) intra-block connectivity. Small blocks pass through unchanged;
+    oversized blocks get ``{block}+{key}`` sub-keys.
+    """
+    sizes = records.groupBy(block_col).agg(F.count("*").alias("_bs"))
+    rec = records.join(sizes, block_col)
+    small = rec.where(F.col("_bs") <= min_split_size).select(id_col, block_col)
+    big = rec.where(F.col("_bs") > min_split_size).select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.array_distinct(F.col(keys_col)).alias("_keys"),
+    ).withColumn("_nk", F.size("_keys")).persist()
+
+    sym = edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")).union(
+        edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+    )
+    anchors = big.where(F.col("_nk") == 1).select(
+        "_id", "_blk", F.element_at("_keys", 1).alias("_key")
+    )
+    anchor_counts = anchors.groupBy("_blk", "_key").agg(F.count("*").alias("_mk"))
+    # c_ik: edges from record i to single-key members of key k (same block)
+    conn = (
+        sym.join(anchors.select(F.col("_id").alias("_dst"), "_blk", "_key"), "_dst")
+        .groupBy(F.col("_src").alias("_id"), "_blk", "_key")
+        .agg(F.count("*").alias("_c"))
+    )
+
+    multi_cand = big.where(F.col("_nk") > 1).select(
+        "_id", "_blk", F.explode("_keys").alias("_key")
+    )
+    nbr_keys = (
+        sym.join(
+            big.select(F.col("_id").alias("_dst"), "_blk", F.col("_keys").alias("_dk")),
+            "_dst",
+        )
+        .select(F.col("_src").alias("_id"), "_blk", F.explode("_dk").alias("_key"))
+        .distinct()
+    )
+    none_rec = big.where(F.col("_nk") == 0).select("_id", "_blk")
+    none_cand = none_rec.join(nbr_keys, ["_id", "_blk"], "left")
+
+    cand = multi_cand.unionByName(none_cand.where(F.col("_key").isNotNull()))
+    scored = (
+        cand.join(conn, ["_id", "_blk", "_key"], "left")
+        .join(anchor_counts, ["_blk", "_key"], "left")
+        .select(
+            "_id", "_blk", "_key",
+            F.when(
+                F.coalesce(F.col("_mk"), F.lit(0)) > 0,
+                F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("_mk"),
+            ).otherwise(F.lit(0.0)).alias("_mean"),
+        )
+    )
+    w = Window.partitionBy("_id", "_blk").orderBy(F.col("_mean").desc(), F.col("_key").asc())
+    picked = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("_id", "_blk", "_key")
+    )
+    isolated = none_rec.join(picked.select("_id"), "_id", "left_anti").select(
+        "_id", "_blk", F.lit(null_key).alias("_key")
+    )
+    assigned = anchors.unionByName(picked).unionByName(isolated)
+    out_big = assigned.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws("+", "_blk", "_key").alias(block_col),
+    )
+    result = small.unionByName(out_big)
+    big.unpersist()
+    return result
 
 
 def block_assignments(

@@ -247,17 +247,19 @@ def simhash_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 6,
+    prefix_bits: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit Charikar sketch per doc, candidates = docs sharing a
-    16-bit prefix band (4 rotations), verified by Hamming distance ≤ max_hamming.
+    """SimHash near-dup: 64-bit Charikar sketch per doc, candidates = docs sharing
+    an aligned ``prefix_bits``-bit band, verified by Hamming distance ≤ max_hamming.
 
-    The banding trick keeps the join linear: two sketches within Hamming d of each
-    other share at least one of ceil(64/prefix_bits) aligned bands when d <
-    64/prefix_bits; with d ≤ 8 and 4 bands of 16 bits a collision is guaranteed
-    only for d ≤ 3, probabilistic above — documented recall trade-off, mirrored by
-    the verify pass.
+    Band-completeness (pigeonhole): two sketches within Hamming d share at least
+    one of the 64/prefix_bits aligned bands whenever d < 64/prefix_bits. The
+    defaults (8 bands of 8 bits, max_hamming=6 < 8) therefore make the banded
+    candidate set COMPLETE — the output equals the exact Hamming-≤-6 pair set,
+    which the bench recall gate asserts as recall 1.0. Narrower bands trade
+    candidate volume for the guarantee; with 4×16 bits the guarantee drops to
+    d ≤ 3 (the round-1 configuration's documented gap).
     """
     from entity_resolution_spark.functions.hashing import hamming64, simhash64, simhash_fold
 

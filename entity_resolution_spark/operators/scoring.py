@@ -29,7 +29,11 @@ from entity_resolution_spark.functions.strings import jaro_winkler_udf, levensht
 from entity_resolution_spark.functions.vectors import cosine_jaccard_udf
 
 # Feature columns produced by build_pair_features, in scorer order.
-PAIR_FEATURES = ["cosine", "jaccard", "jw_stem", "lev_stem", "same_lang", "exact"]
+# soundex_stem = phonetic equality of the path stems, the code-domain analog of
+# the reference's sanction alias soundex feature (features/common.py:282-298).
+PAIR_FEATURES = [
+    "cosine", "jaccard", "jw_stem", "lev_stem", "soundex_stem", "same_lang", "exact",
+]
 
 
 @dataclass(frozen=True)
@@ -37,7 +41,7 @@ class ScorerWeights:
     """Logistic coefficients over PAIR_FEATURES (fit offline on synthetic labeled
     pairs with tools/fit_scorer.py; defaults validated by the e2e F1 test)."""
     bias: float = -7.0
-    weights: tuple[float, ...] = (9.0, 5.0, 1.0, 1.0, 1.0, 20.0)
+    weights: tuple[float, ...] = (9.0, 5.0, 1.0, 1.0, 0.5, 1.0, 20.0)
     threshold: float = 0.5
     large_block_bump: float = 0.02   # ref: +0.02 over 400 records
     large_block_size: int = 400
@@ -79,6 +83,7 @@ def build_pair_features(
         F.col("_cj.jaccard").alias("jaccard"),
         jaro_winkler_udf("stem_a", "stem_b").alias("jw_stem"),
         levenshtein_sim(F.col("stem_a"), F.col("stem_b")).alias("lev_stem"),
+        (F.soundex("stem_a") == F.soundex("stem_b")).cast("double").alias("soundex_stem"),
         (F.col("lang_a") == F.col("lang_b")).cast("double").alias("same_lang"),
         # "exact" (weight 20 ≈ a forced merge) requires FULL 256-bit sha equality.
         # The sha-prefix block key (is_exact pairs) is blocking-only: a 48-bit

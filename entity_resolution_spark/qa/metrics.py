@@ -237,12 +237,58 @@ def validation_report(
     block_col: str = "blocking_key",
     truth_col: str = "ground_truth",
     pred_col: str = "cluster_id",
+    weights_col: str | None = None,
 ) -> dict[str, float]:
-    """Unweighted per-block means — the reference's final report dict
-    (``qa/quality_control.py:55-85`` with no weighting column)."""
+    """Per-block means — the reference's final report dict
+    (``qa/quality_control.py:55-85``). ``weights_col`` names a column of the
+    per-block quality frame (e.g. ``count`` to weight blocks by record count):
+    the reference's ``np.average(data, weights=...)`` becomes Σ(x·w)/Σ(w) with
+    null metric rows excluded per column, rounded to 2dp like the reference."""
     q = validate_blocks(truth_pred, block_col, truth_col, pred_col)
-    row = q.agg(*[F.avg(c).alias(c) for c in REPORT_COLS]).collect()[0]
+    if weights_col is None:
+        aggs = [F.avg(c).alias(c) for c in REPORT_COLS]
+    else:
+        w = F.col(weights_col).cast("double")
+        aggs = [
+            (
+                F.sum(F.when(F.col(c).isNotNull(), F.col(c) * w))
+                / F.sum(F.when(F.col(c).isNotNull(), w))
+            ).alias(c)
+            for c in REPORT_COLS
+        ]
+    row = q.agg(*aggs).collect()[0]
     return {c: round(float(row[c]), 2) for c in REPORT_COLS}
+
+
+def initial_name_checks(
+    validation: DataFrame,
+    clustering_results: DataFrame,
+    block_col: str = "blocking_key",
+) -> DataFrame:
+    """Validation-vs-results block diagnostics — the reference's
+    ``perform_initial_name_checks`` (``qa/quality_metrics.py:82-122``) as one
+    full-outer aggregation join instead of driver-side value_counts loops.
+
+    Per block: validation_count, actual_count, and a status —
+    ``ok`` (counts match), ``count_mismatch``, ``missing_from_validation``
+    (clustered block absent from the validation set — the reference prints and
+    skips these), ``missing_from_results``.
+    """
+    v = validation.groupBy(block_col).agg(F.count("*").alias("validation_count"))
+    a = clustering_results.groupBy(block_col).agg(F.count("*").alias("actual_count"))
+    joined = v.join(a, block_col, "full_outer")
+    status = (
+        F.when(F.col("validation_count").isNull(), F.lit("missing_from_validation"))
+        .when(F.col("actual_count").isNull(), F.lit("missing_from_results"))
+        .when(
+            F.col("validation_count") != F.col("actual_count"),
+            F.lit("count_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        block_col, "validation_count", "actual_count", status.alias("status")
+    )
 
 
 def homogeneity_completeness_v(

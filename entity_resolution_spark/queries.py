@@ -503,7 +503,14 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     probes = e.where(F.col("vec_id") < 20)
-    return lsh_ann_topk(e, probes, k=5, dim=64, n_planes=6, n_tables=4)
+    # plane/table schedule tuned to the embedding table's neighbor structure:
+    # true top-5 neighbors sit near cosine ≈ 0.3-0.4 (θ ≈ 70°, per-plane
+    # agreement p ≈ 0.6), so few planes + many tables is required for recall —
+    # p²=0.36 per table, miss (1-0.36)^10 ≈ 0.012 → recall ≈ 0.99 (bench gate
+    # asserts ≥ 0.95 at sf0.01). At corpus scale, planes grow with log N only
+    # as fast as the target similarity allows; this is the documented LSH
+    # recall/candidate-volume dial.
+    return lsh_ann_topk(e, probes, k=5, dim=64, n_planes=2, n_tables=10)
 
 
 def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +528,54 @@ def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = resolve(spark, repo_files, PipelineConfig(shingle_k=3))
     return out["clusters"].select("unique_id", "lang", "content_sha", "cluster_id")
+
+
+def q_er_resolve_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with an independent oracle: the SAME resolve() code path
+    (features → blocking → star/clique pairs → logistic scoring → splitter → CC)
+    restricted to the exact-sha key family, whose fixpoint is SQL-expressible.
+
+    With only ``sha:{lang}:{sha_prefix}`` blocks, candidate pairs are the star
+    pairs of each block, and an edge forms iff the full 256-bit shas are equal
+    (the ``exact`` feature, weight 20, pushes the logistic over threshold; a
+    non-equal-sha pair inside a block exists only under a 48-bit prefix
+    collision — P ≈ n²/2^49, absent in the test tables — and would additionally
+    need near-identical content to cross the threshold without ``exact``). The
+    oracle: cluster representative = min unique_id over (lang, sha256(text)).
+    """
+    from entity_resolution_spark.operators.blocking import BlockingConfig
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+
+    d = _t(spark, sf_dir, "documents")
+    repo_files = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    cfg = PipelineConfig(
+        shingle_k=3,
+        blocking=BlockingConfig(
+            use_path_tokens=False, use_minhash=False, use_fingerprints=False
+        ),
+    )
+    out = resolve(spark, repo_files, cfg)
+    return out["clusters"].select("unique_id", "lang", "content_sha", "cluster_rep")
+
+
+SQL_ER_RESOLVE_DOCS_EXACT = """
+WITH r AS (
+  SELECT sha256(source || chr(31) || doc_id::VARCHAR || '.txt'
+                || chr(31) || doc_id::VARCHAR)          AS unique_id,
+         lang,
+         sha256(text)                                    AS content_sha
+  FROM documents
+)
+SELECT unique_id, lang, content_sha,
+       min(unique_id) OVER (PARTITION BY lang, content_sha) AS cluster_rep
+FROM r
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -545,6 +600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": q_simhash_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "er_resolve_docs": q_er_resolve_docs,
+    "er_resolve_docs_exact": q_er_resolve_docs_exact,
 }
 
 ORACLES: dict[str, str] = {
@@ -565,6 +621,8 @@ ORACLES: dict[str, str] = {
     "feature_adjacency_docs": SQL_FEATURE_ADJACENCY_DOCS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
+    # (each is recall/equivalence-gated against its exact counterpart in bench.py)
 }

@@ -103,3 +103,105 @@ def test_minhash_bands_block_near_duplicates(spark):
     assert (a, b) in pairs
     c = feats_ids["three.py"]
     assert all(c not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass cutoff-harvest blocking (reference blockers/common.py:100-201,
+# harvest fixture translated from test/blockers/test_blockers.py:95-102)
+# ---------------------------------------------------------------------------
+
+def _recs(spark, rows):
+    return spark.createDataFrame(rows, "unique_id string, typ string, f array<string>")
+
+
+def test_cutoff_harvest_multipass_blocks(spark):
+    from entity_resolution_spark.operators.blocking import cutoff_harvest_blocks
+
+    # A,B share {2,3} (weight 2) — harvested at th=2 before the weight-1 bridge
+    # B–C (shared value 4) can glue them to C,D; final pass blocks the rest.
+    rows = [
+        ("A", "person", ["1", "2", "3"]),
+        ("B", "person", ["2", "3", "4"]),
+        ("C", "person", ["4", "5"]),
+        ("D", "person", ["5", "6"]),
+        ("E", "person", ["9"]),
+    ]
+    out = cutoff_harvest_blocks(
+        _recs(spark, rows), ["f"], th_schedule=[2], cluster_cutoff=2, type_col="typ"
+    )
+    rowsets = {}
+    for r in out.collect():
+        rowsets.setdefault(r["block_key"], set()).add(r["unique_id"])
+    assert sorted(map(sorted, rowsets.values())) == [["A", "B"], ["C", "D"], ["E"]]
+
+    # sanity of the multi-pass claim: a single final-pass-only schedule glues
+    # A..D into one component through the weight-1 bridge
+    single = cutoff_harvest_blocks(
+        _recs(spark, rows), ["f"], th_schedule=[1], cluster_cutoff=2, type_col="typ"
+    )
+    sets = {}
+    for r in single.collect():
+        sets.setdefault(r["block_key"], set()).add(r["unique_id"])
+    assert sorted(map(sorted, sets.values())) == [["A", "B", "C", "D"], ["E"]]
+
+
+def test_cutoff_harvest_never_crosses_types(spark):
+    from entity_resolution_spark.operators.blocking import cutoff_harvest_blocks
+
+    rows = [
+        ("P1", "person", ["11", "22", "33"]),
+        ("V1", "vessel", ["11", "22", "33"]),  # identical features, other type
+    ]
+    out = cutoff_harvest_blocks(
+        _recs(spark, rows), ["f"], th_schedule=[1], cluster_cutoff=1, type_col="typ"
+    )
+    got = {r["unique_id"]: r["block_key"] for r in out.collect()}
+    assert len(set(got.values())) == 2
+    assert got["P1"].startswith("person-") and got["V1"].startswith("vessel-")
+
+
+# ---------------------------------------------------------------------------
+# Oversized-block split by secondary key with connectivity-argmax reassignment
+# (reference blockers/country.py:19-126)
+# ---------------------------------------------------------------------------
+
+def test_split_oversized_by_key_argmax_connectivity(spark):
+    from entity_resolution_spark.operators.blocking import split_oversized_blocks_by_key
+
+    records = spark.createDataFrame(
+        [
+            ("a1", "big", ["x"]),
+            ("a2", "big", ["x"]),
+            ("b1", "big", ["y"]),
+            ("m", "big", ["x", "y"]),   # ambiguous: connected to a1 and b1
+            ("n", "big", []),            # no key: neighbor a1 carries x
+            ("s1", "small", ["z"]),
+            ("s2", "small", []),
+        ],
+        "unique_id string, block_key string, split_keys array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("m", "a1"), ("m", "b1"), ("n", "a1")], "id_a string, id_b string"
+    )
+    out = split_oversized_blocks_by_key(records, edges, min_split_size=3)
+    got = {r["unique_id"]: r["block_key"] for r in out.collect()}
+    # mean connectivity for m: x → 1 edge / 2 anchors = 0.5, y → 1/1 = 1.0 ⇒ y
+    assert got["m"] == "big+y"
+    # n has no key; its neighbor a1 contributes candidate x ⇒ x
+    assert got["n"] == "big+x"
+    assert got["a1"] == "big+x" and got["a2"] == "big+x" and got["b1"] == "big+y"
+    # small blocks pass through unchanged
+    assert got["s1"] == "small" and got["s2"] == "small"
+
+
+def test_split_oversized_isolated_no_key_gets_null_bucket(spark):
+    from entity_resolution_spark.operators.blocking import split_oversized_blocks_by_key
+
+    records = spark.createDataFrame(
+        [("a", "big", ["x"]), ("b", "big", ["x"]), ("c", "big", ["x"]), ("i", "big", [])],
+        "unique_id string, block_key string, split_keys array<string>",
+    )
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    out = split_oversized_blocks_by_key(records, edges, min_split_size=3)
+    got = {r["unique_id"]: r["block_key"] for r in out.collect()}
+    assert got["i"] == "big+00"

@@ -98,3 +98,36 @@ def test_pairwise_f1_perfect_and_degenerate(spark):
     )
     m2 = pairwise_f1(lp, allone)
     assert m2["recall"] == 1.0 and m2["precision"] == 0.5
+
+
+def test_validation_report_weighted(spark, truth_pred):
+    """np.average(weights=count) analog (qa/quality_control.py:55-85): the NAME
+    block (7 records) dominates the OTHER block (2 records)."""
+    report = validation_report(truth_pred, weights_col="count")
+    assert report["homogeneity"] == round((0.84 * 7 + 1.0 * 2) / 9, 2)
+    assert report["completeness"] == round((0.70 * 7 + 1.0 * 2) / 9, 2)
+    assert report["v_measure"] == round((0.76 * 7 + 1.0 * 2) / 9, 2)
+    assert report["oc_rate"] == round((0.2 * 7) / 9, 2)
+    assert report["uc_rate"] == round((0.8 * 7) / 9, 2)
+    assert report["score_to_minimize"] == round((5.4 * 7) / 9, 2)
+
+
+def test_initial_name_checks(spark):
+    from entity_resolution_spark.qa.metrics import initial_name_checks
+
+    validation = spark.createDataFrame(
+        [("A", "u1"), ("A", "u2"), ("B", "u3"), ("D", "u7"), ("D", "u8")],
+        "blocking_key string, unique_id string",
+    )
+    results = spark.createDataFrame(
+        [("A", "u1"), ("A", "u2"), ("C", "u4"), ("D", "u7")],
+        "blocking_key string, unique_id string",
+    )
+    got = {
+        r["blocking_key"]: (r["validation_count"], r["actual_count"], r["status"])
+        for r in initial_name_checks(validation, results).collect()
+    }
+    assert got["A"] == (2, 2, "ok")
+    assert got["B"] == (1, None, "missing_from_results")
+    assert got["C"] == (None, 1, "missing_from_validation")
+    assert got["D"] == (2, 1, "count_mismatch")

@@ -58,9 +58,9 @@ def test_levenshtein_sim(spark):
 
 def test_logistic_score_monotone_and_exact_dominates(spark):
     rows = [
-        ("a", "b", 0.9, 0.8, 0.9, 0.9, 1.0, 0.0),
-        ("c", "d", 0.1, 0.05, 0.5, 0.4, 1.0, 0.0),
-        ("e", "f", 0.0, 0.0, 0.0, 0.0, 0.0, 1.0),   # exact duplicate, nothing else
+        ("a", "b", 0.9, 0.8, 0.9, 0.9, 1.0, 1.0, 0.0),
+        ("c", "d", 0.1, 0.05, 0.5, 0.4, 0.0, 1.0, 0.0),
+        ("e", "f", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0),  # exact duplicate, nothing else
     ]
     pf = spark.createDataFrame(
         rows, "id_a string, id_b string, " + ", ".join(f"{c} double" for c in PAIR_FEATURES)

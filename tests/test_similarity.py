@@ -68,3 +68,16 @@ def test_lsh_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall  # 8 tables × 4 planes on random vectors
+
+
+def test_blocked_cosine_pairs_more_buckets_than_vectors(spark):
+    """Regression: a 3-vector input with n_buckets=8 leaves most buckets empty;
+    mixed tiles must return empty instead of crashing np.stack."""
+    from entity_resolution_spark.operators.similarity import blocked_cosine_pairs
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = blocked_cosine_pairs(vecs, threshold=0.9, n_buckets=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
