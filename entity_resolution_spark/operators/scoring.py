@@ -62,8 +62,11 @@ def build_pair_features(
     """
     # the features⋈vectors frame probes the pair table twice (a-side and b-side);
     # persist so the join runs once (plan trees duplicate unshared subtrees)
+    # sha carried as 32-byte BINARY through the pair join (vs 64-char hex
+    # string): equality-only use, half the bytes in the wide shuffle
     feat = features.join(vectors, "unique_id", "left").select(
-        "unique_id", "lang", "content_sha", "stem", "terms", "weights"
+        "unique_id", "lang", F.unhex("content_sha").alias("content_sha"),
+        "stem", "terms", "weights"
     ).persist()
     if persisted is not None:
         persisted.append(feat)  # caller releases once downstream is materialized
