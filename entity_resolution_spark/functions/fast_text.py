@@ -1,0 +1,100 @@
+"""Arrow-batched tokenize → shingle-hash → fingerprint kernel (the hot visitor).
+
+Round-2 plan audit found the JVM higher-order-function pipeline
+(``F.filter(F.split(...))`` + per-window ``slice``/``xxhash64`` lambdas) costs
+~60s on 175k files and — critically — does NOT scale with cores inside one
+local-mode JVM (interpreted lambda evaluation over ~35M token elements is flat
+4→16 cores; see PLANS.md). This module computes the same three feature columns
+(hashed shingles, winnowing fingerprints, token count) in ONE pandas UDF:
+
+- tokens: the same ``[^a-z0-9_]+`` lowercase split as :func:`functions.text.tokens`;
+- per-token 64-bit values: zlib.crc32 (C speed) widened by a polynomial combine;
+- shingle hash of a k-window: FNV-prime polynomial over the k token values —
+  computed for ALL windows with k vectorized numpy ops (no per-window work);
+- fingerprints: window=8 polynomial hashes, kept when ``h & 15 == 0``
+  (content-defined ~1/16 sample, winnowing-lite);
+- output arrays distinct + sorted (np.unique), int64.
+
+Hash VALUES differ from the previous xxhash64-based columns; every consumer
+(MinHash bands, TF-IDF terms, fingerprint blocks) treats them as opaque ids, so
+only the blocking randomization changes — the e2e F1 gate revalidates.
+Deterministic: crc32 + fixed multipliers, no seed, no order dependence.
+Python workers are separate PROCESSES, so this path scales with cores where the
+shared-JVM interpreted path did not.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"[^a-z0-9_]+")
+_A = np.uint64(1099511628211)  # FNV-1a prime: polynomial rolling multiplier
+_WIDEN = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant widens crc32
+
+
+def _poly_windows(vals: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every k-window of ``vals`` (uint64, wraps mod 2^64).
+
+    h_i = ((v_i·A + v_{i+1})·A + ...) — k vectorized ops over the whole array.
+    Sequences shorter than k hash as one whole-sequence window (matching
+    ``hashed_shingles``: short files still block/compare).
+    """
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    k = min(k, n)
+    h = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):
+        h = h * _A + vals[j : n - k + 1 + j]
+    return h
+
+
+def _code_features_batch(texts: pd.Series, shingle_k: int) -> pd.DataFrame:
+    sh_out: list[np.ndarray] = []
+    fp_out: list[np.ndarray] = []
+    nt_out = np.zeros(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            sh_out.append(np.empty(0, np.int64))
+            fp_out.append(np.empty(0, np.int64))
+            continue
+        toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+        nt_out[i] = len(toks)
+        if not toks:
+            sh_out.append(np.empty(0, np.int64))
+            fp_out.append(np.empty(0, np.int64))
+            continue
+        crcs = np.fromiter(
+            (zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in toks),
+            np.uint32, len(toks),
+        ).astype(np.uint64) * _WIDEN
+        sh = np.unique(_poly_windows(crcs, shingle_k)).view(np.int64)
+        fps = _poly_windows(crcs, 8)
+        fps = np.unique(fps[(fps & np.uint64(15)) == 0]).view(np.int64)
+        sh_out.append(sh)
+        fp_out.append(fps)
+    return pd.DataFrame(
+        {"shingles": sh_out, "fingerprints": fp_out, "n_tokens": nt_out}
+    )
+
+
+_udf_cache: dict[int, object] = {}
+
+
+def code_features(content, shingle_k: int = 5):
+    """Struct column (shingles array<long>, fingerprints array<long>,
+    n_tokens long) over a text column — the Arrow fast path of the visitor
+    stage. Built lazily per shingle_k (pandas_udf needs an active session)."""
+    if shingle_k not in _udf_cache:
+        def _fn(texts: pd.Series) -> pd.DataFrame:
+            return _code_features_batch(texts, shingle_k)
+
+        _udf_cache[shingle_k] = F.pandas_udf(
+            "shingles array<long>, fingerprints array<long>, n_tokens long"
+        )(_fn)
+    return _udf_cache[shingle_k](content)

@@ -8,7 +8,7 @@ C-level ``np.intersect1d`` merge of the two sorted term arrays (no per-row Pytho
 interpretation of vector elements).
 
 Vectors are stored as two parallel sorted arrays per record:
-``terms array<long>`` (xxhash64 of the term) and ``weights array<double>``
+``terms array<int>`` (31-bit hash of the term) and ``weights array<float>``
 (L2-normalized tf-idf) — compact over Arrow, schema-stable, Iceberg-friendly.
 """
 
@@ -30,7 +30,7 @@ def tfidf_vectors(
     top_k: int | None = None,
     persisted: list | None = None,
 ) -> DataFrame:
-    """(id, array<string> terms) → (id, terms array<long>, weights array<double>).
+    """(id, array terms) → (id, terms array<int>, weights array<float>).
 
     idf = ln((N+1)/(df+1)) + 1 (sklearn ``smooth_idf`` convention, matching the
     reference's TfidfVectorizer defaults at ``am_combiner/dataloop.py:33-36``);
@@ -59,8 +59,15 @@ def tfidf_vectors(
         "_t",
         (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0).alias("_idf"),
     )
+    # term ids re-hashed to int32: the pair join ships terms/weights through
+    # the shuffle AND the Arrow boundary twice per pair — 4-byte terms halve
+    # the dominant payload. Within-pair false-match P ≈ k²/2^32 ≈ 4e-6 at
+    # k=128 (adds ≤ one w_a·w_b product to cosine for ~4-in-a-million pairs);
+    # corpus-wide collisions only nudge df counts. Deterministic.
     weighted = tf.join(idf, "_t").select(
-        "_id", F.xxhash64("_t").alias("_th"), (F.col("_tf") * F.col("_idf")).alias("_w")
+        "_id",
+        F.xxhash64("_t").bitwiseAND(F.lit((1 << 31) - 1)).cast("int").alias("_th"),
+        (F.col("_tf") * F.col("_idf")).alias("_w"),
     )
     # Truncate to the top_k highest-weight terms per doc and renormalize: per-row
     # payload is then bounded (the pair join ships these arrays — measured 12 GB

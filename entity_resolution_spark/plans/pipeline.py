@@ -25,12 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions import text as TX
-from entity_resolution_spark.functions.hashing import (
-    content_sha,
-    hashed_shingles,
-    rolling_fingerprints,
-    unique_id,
-)
+from entity_resolution_spark.functions.hashing import content_sha, unique_id
 from entity_resolution_spark.functions.vectors import tfidf_vectors
 from entity_resolution_spark.operators.blocking import BlockingConfig, block_assignments
 from entity_resolution_spark.operators.components import connected_components
@@ -76,13 +71,19 @@ def extract_features(
     ``am_combiner/features/frontend.py:24-43``; here each feature is a column and
     ``content`` itself is only read, never rewritten — the sha256 invariant.)
     """
-    # Two-step select: tokenization lands in a real column FIRST, then the
-    # window-sliding expressions reference that column. Embedding the tokenize
-    # expression directly inside slice()-in-transform lambdas makes Spark
-    # re-evaluate it per window element (no CSE inside HOF lambdas) — measured
-    # ~40x slower. Multi-use of `_toks` below keeps CollapseProject from
-    # re-inlining it.
-    with_toks = repo_files.select(
+    # The tokenize → shingle → fingerprint loop is the hot visitor. The pure-JVM
+    # higher-order-function version (functions.hashing.hashed_shingles /
+    # rolling_fingerprints) evaluates interpreted lambdas per token element and
+    # measured FLAT across cores inside one local-mode JVM (~60s on 175k files
+    # at 4 AND 16 cores — PLANS.md round-2 audit). The Arrow kernel
+    # (functions.fast_text.code_features: C-speed crc32 + vectorized numpy
+    # polynomial window hashes in separate Python worker processes) computes the
+    # same three columns scalably; shingles are stored HASHED (array<long>):
+    # 4-6× less shuffle width than raw strings, long-compare intersects, and
+    # minhash / TF-IDF downstream operate on the hashes directly.
+    from entity_resolution_spark.functions.fast_text import code_features
+
+    with_cf = repo_files.select(
         unique_id().alias("unique_id"),
         "repo",
         "path",
@@ -91,14 +92,10 @@ def extract_features(
         content_sha().alias("content_sha"),
         TX.path_stem("path").alias("stem"),
         TX.path_tokens("path").alias("path_toks"),
-        TX.tokens(F.col("content")).alias("_toks"),
+        code_features(F.col("content"), cfg.shingle_k).alias("_cf"),
         *[F.col(c) for c in (keep or [])],
     )
-    toks = F.col("_toks")
-    # shingles are stored HASHED (xxhash64 per shingle, array<long>): 4-6× less
-    # shuffle width than the raw strings, long-compare intersects, and minhash /
-    # TF-IDF downstream operate on the hashes directly.
-    return with_toks.select(
+    return with_cf.select(
         *[F.col(c) for c in (keep or [])],
         "unique_id",
         "repo",
@@ -108,9 +105,9 @@ def extract_features(
         "content_sha",
         "stem",
         "path_toks",
-        hashed_shingles(toks, cfg.shingle_k).alias("shingles"),
-        rolling_fingerprints(toks).alias("fingerprints"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("_cf.shingles").alias("shingles"),
+        F.col("_cf.fingerprints").alias("fingerprints"),
+        F.col("_cf.n_tokens").alias("n_tokens"),
     )
 
 
