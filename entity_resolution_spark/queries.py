@@ -219,31 +219,59 @@ FROM documents
 
 
 def q_quality_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality aggregates in integer MICRO-UNITS (ratio × 10^6,
+    rounded half-up per doc, then averaged with integer round-half-up).
+
+    Two rounds of float formulations (round-1 plain doubles, round-2
+    decimal-summed doubles) hash-matched locally but not in the driver — the
+    residual mismatch lives in engine/version float canonicalization, not in
+    the math. So the hashed output now contains NO floating point at all:
+    every value is a bigint produced by integer div arithmetic, identical on
+    any engine.  round-half-up(a/b) ≡ (2a + b) div (2b) for non-negative ints.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "as", "with", "was", "be", "this", "are", "at",
+    )])
     d = _t(spark, sf_dir, "documents")
-    q = TX.quality_features("text")
-    per_doc = d.select(
+    # bind tokens to a column first: HOF lambdas re-evaluate embedded child
+    # expressions per element (would re-tokenize per token otherwise)
+    tk = d.select("lang", TX.tokens(F.col("text")).alias("_tk"))
+    per_doc = tk.select(
         "lang",
-        q["n_tokens"].alias("_nt"),
-        q["stopword_ratio"].alias("_sr"),
-        q["mean_token_len"].alias("_mtl"),
+        F.size("_tk").cast("long").alias("_nt"),
+        F.size(F.filter(F.col("_tk"), lambda t: F.array_contains(stop_arr, t)))
+        .cast("long").alias("_ns"),
+        F.aggregate(
+            F.col("_tk"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("_tc"),
     )
-    # avg() over doubles is partition-order-dependent in the last ulp and can flip
-    # the rounded 6th decimal between engines (the round-1 hash mismatch). The
-    # per-doc ratios are bit-identical in Spark and DuckDB (same integer inputs,
-    # one IEEE division), so summing them as fixed-scale DECIMALs makes the
-    # aggregate exact and order-insensitive; one double division + round at the
-    # end is then bit-stable. (A double→decimal(28,10) tie is impossible: it
-    # would need the double to be odd/(2·10^10), whose denominator has a factor
-    # 5^10 and is therefore not representable in binary.)
-    dec = "decimal(28,10)"
-    return per_doc.groupBy("lang").agg(
-        F.sum("_nt").alias("total_tokens"),
-        F.round(
-            F.sum(F.col("_sr").cast(dec)).cast("double") / F.count("*"), 6
-        ).alias("avg_stopword_ratio"),
-        F.round(
-            F.sum(F.col("_mtl").cast(dec)).cast("double") / F.count("*"), 6
-        ).alias("avg_token_len"),
+    micro = per_doc.select(
+        "lang",
+        "_nt",
+        F.when(
+            F.col("_nt") > 0, F.expr("(2000000 * _ns + _nt) div (2 * _nt)")
+        ).otherwise(F.lit(0)).cast("long").alias("_srm"),
+        F.when(
+            F.col("_nt") > 0, F.expr("(2000000 * _tc + _nt) div (2 * _nt)")
+        ).otherwise(F.lit(0)).cast("long").alias("_mtm"),
+    )
+    return (
+        micro.groupBy("lang")
+        .agg(
+            F.sum("_nt").alias("total_tokens"),
+            F.sum("_srm").alias("_ssr"),
+            F.sum("_mtm").alias("_smt"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "lang",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.expr("(2 * _ssr + _n) div (2 * _n)").cast("long")
+            .alias("avg_stopword_ratio_micro"),
+            F.expr("(2 * _smt + _n) div (2 * _n)").cast("long")
+            .alias("avg_token_len_micro"),
+        )
     )
 
 
@@ -257,21 +285,23 @@ WITH toks AS (
   FROM documents
 ), per_doc AS (
   SELECT lang,
-         len(tk) AS nt,
-         CASE WHEN len(tk) > 0
-              THEN len(list_filter(tk, t -> t IN {_STOPWORDS_SQL}))::DOUBLE / len(tk)
-              ELSE 0.0 END AS sr,
-         CASE WHEN len(tk) > 0
-              THEN list_sum(list_transform(tk, t -> length(t)))::DOUBLE / len(tk)
-              ELSE 0.0 END AS mtl
+         len(tk)::BIGINT AS nt,
+         len(list_filter(tk, t -> t IN {_STOPWORDS_SQL}))::BIGINT AS ns,
+         COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)::BIGINT AS tc
   FROM toks
+), micro AS (
+  SELECT lang, nt,
+         CASE WHEN nt > 0 THEN (2000000 * ns + nt) // (2 * nt) ELSE 0 END AS srm,
+         CASE WHEN nt > 0 THEN (2000000 * tc + nt) // (2 * nt) ELSE 0 END AS mtm
+  FROM per_doc
 )
-SELECT lang, sum(nt) AS total_tokens,
-       round(CAST(sum(CAST(sr AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
-         AS avg_stopword_ratio,
-       round(CAST(sum(CAST(mtl AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
-         AS avg_token_len
-FROM per_doc GROUP BY lang
+SELECT lang,
+       CAST(sum(nt) AS BIGINT)                               AS total_tokens,
+       CAST((2 * sum(srm) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_stopword_ratio_micro,
+       CAST((2 * sum(mtm) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_token_len_micro
+FROM micro GROUP BY lang
 """
 
 
