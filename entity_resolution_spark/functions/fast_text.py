@@ -13,7 +13,10 @@ local-mode JVM (interpreted lambda evaluation over ~35M token elements is flat
   computed for ALL windows with k vectorized numpy ops (no per-window work);
 - fingerprints: window=8 polynomial hashes, kept when ``h & 15 == 0``
   (content-defined ~1/16 sample, winnowing-lite);
-- output arrays distinct + sorted (np.unique), int64.
+- output arrays distinct, int64 (np.unique sorts in UNSIGNED uint64 order
+  before the int64 view, so values over 2^63 appear as negative longs out of
+  int64 order — consumers treat these as opaque ids; a sorted-merge consumer
+  would need its own sort).
 
 Hash VALUES differ from the previous xxhash64-based columns; every consumer
 (MinHash bands, TF-IDF terms, fingerprint blocks) treats them as opaque ids, so

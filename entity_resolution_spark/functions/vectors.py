@@ -90,6 +90,21 @@ def tfidf_vectors(
             F.aggregate("_top", F.lit(0.0), lambda acc, s: acc + s["_w"] * s["_w"])
         ).alias("_norm"),
     )
+    # The 31-bit re-hash can (P ≈ k²/2^32 per doc) map two distinct terms to one
+    # _th; the scoring UDF's np.intersect1d(assume_unique=True) contract requires
+    # duplicate-free term arrays, so drop all-but-the-last of any equal-_th run
+    # (_tw is sorted by (_th, _w): the kept element is the max-weight one). The
+    # dropped weight still participates in _norm — a ≤1-ulp-scale distortion for
+    # ~4-in-a-million docs, vs undefined numpy behavior.
+    step2 = step2.select(
+        "_id",
+        "_norm",
+        F.filter(
+            F.col("_tw"),
+            lambda s, i: (i == F.size("_tw") - 1)
+            | (s["_th"] != F.element_at(F.col("_tw"), i + 2)["_th"]),
+        ).alias("_tw"),
+    )
     return step2.select(
         F.col("_id").alias(id_col),
         F.col("_tw._th").alias("terms"),

@@ -37,8 +37,8 @@ def _canon_pairs(df: DataFrame, id_a: str, id_b: str, keep: list[str]) -> DataFr
 def apply_label_overrides(
     edges: DataFrame,
     labeled_pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
+    pair_id_a: str = "id_a",
+    pair_id_b: str = "id_b",
     label_col: str = "label",
 ) -> DataFrame:
     """Scored match edges ⊕ labeled pairs → overridden edges (id_a, id_b, score).
@@ -49,9 +49,11 @@ def apply_label_overrides(
     - positive pair (label = true): the edge exists with score 1.0 whether or
       not scoring produced it (union + max-score dedup).
 
-    ``labeled_pairs``: (id_a, id_b, label boolean) in any orientation.
+    ``labeled_pairs``: (pair_id_a, pair_id_b, label boolean) in any orientation
+    — the ``pair_id_*`` parameters name ONLY the labeled-pairs columns.
+    ``edges`` has the fixed engine schema (id_a, id_b, score).
     """
-    lp = _canon_pairs(labeled_pairs, id_a, id_b, [label_col])
+    lp = _canon_pairs(labeled_pairs, pair_id_a, pair_id_b, [label_col])
     neg = lp.where(~F.col(label_col)).select("id_a", "id_b").distinct()
     pos = lp.where(F.col(label_col)).select(
         "id_a", "id_b", F.lit(1.0).alias("score")

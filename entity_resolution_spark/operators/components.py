@@ -53,23 +53,82 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _single_task_components(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: the whole (deduplicated) edge set in ONE task,
+    labeled by a vectorized numpy union-find — zero driver-synchronized rounds.
+
+    The distributed loop's per-round cost is fixed driver latency (two star
+    jobs + a convergence collect) that *grows* with core count on scheduling
+    slivers; below the edge threshold a single mapInPandas task computes the
+    identical min-id labels in milliseconds. The kernel is Shiloach-Vishkin
+    style min-label hooking + pointer jumping: every pass is O(E) numpy, and
+    label values only decrease toward the component minimum, so the fixpoint
+    root of every node is exactly the component's min node id — the same
+    labels the large-star/small-star loop converges to.
+
+    Node ids may be longs or strings (np.unique orders ASCII strings like
+    Spark's binary ordering; non-ASCII ids should use the distributed path).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+
+    node_type = e.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("id", node_type), StructField("component", node_type)]
+    )
+
+    def kernel(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        if not srcs:
+            return
+        src_v = np.concatenate(srcs)
+        dst_v = np.concatenate(dsts)
+        nodes, inv = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
+        a = inv[: len(src_v)]
+        b = inv[len(src_v):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            pa = parent[a]
+            pb = parent[b]
+            if not (pa != pb).any():
+                break
+            lo = np.minimum(pa, pb)
+            hi = np.maximum(pa, pb)
+            np.minimum.at(parent, hi, lo)
+            while True:  # full path compression via pointer doubling
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+        yield pd.DataFrame({"id": nodes, "component": nodes[parent]})
+
+    return e.coalesce(1).mapInPandas(kernel, schema=out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
-    target_rows_per_partition: int = 250_000,
+    small_graph_edges: int = 5_000_000,
 ) -> DataFrame:
     """Edge DataFrame → component labels ``(id, component)``.
 
     ``component`` is the min node id of the component. Nodes appear iff they appear
     in ``edges``; union isolated vertices downstream (see :func:`label_components`).
 
-    The loop is latency-sensitive (each round is a driver-synchronized barrier),
-    so edges are re-partitioned to ≈``target_rows_per_partition`` rows/partition
-    first: a 500k-edge graph runs its ~log(diameter) rounds on a handful of
-    partitions instead of paying per-task scheduling on hundreds of slivers,
-    while a 10^12-edge graph still fans out to thousands of partitions.
+    Graphs with ≤ ``small_graph_edges`` deduplicated edges take the single-task
+    union-find fast path (:func:`_single_task_components`); larger graphs run
+    the alternating-star loop, whose every round is a shuffle-bounded job —
+    the 100 TB shape. Both paths produce identical min-id labels, so the
+    threshold only moves the physical strategy (verified by the determinism
+    tests). No session configuration is touched; the loop inherits the
+    session's shuffle parallelism (AQE coalesces small shuffles at runtime).
     """
     # persist BEFORE the sizing count: the input subtree (often an expensive
     # similarity join) would otherwise execute twice — once for count(), once
@@ -82,17 +141,15 @@ def connected_components(
         out = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
         e.unpersist()
         return out
-    n_parts = max(2, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-                         n_edges // target_rows_per_partition + 1))
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    prev_parts = e.sparkSession.conf.get(shuffle_conf)
-    e.sparkSession.conf.set(shuffle_conf, str(n_parts))
-    try:
-        seed = e.repartition(n_parts, "src").localCheckpoint(eager=True)
+    if n_edges <= small_graph_edges:
+        # materialize before releasing the input cache (the labels frame is
+        # consumed by several downstream joins — cut the tree here too)
+        out = _single_task_components(e).localCheckpoint(eager=True)
         e.unpersist()
-        return _cc_loop(seed, max_iterations)
-    finally:
-        e.sparkSession.conf.set(shuffle_conf, prev_parts)
+        return out
+    seed = e.repartition("src").localCheckpoint(eager=True)
+    e.unpersist()
+    return _cc_loop(seed, max_iterations)
 
 
 def _cc_loop(e: DataFrame, max_iterations: int) -> DataFrame:

@@ -88,7 +88,13 @@ def jaccard_pairs(
     # Candidates are therefore the prefix-token inverted-index join — linear in
     # posting-list sizes, not block size² — and the exact jaccard verify keeps
     # the output set bit-identical to the brute-force definition.
-    base = base.persist()
+    #
+    # base is consumed by the posting-index subtree AND the two verify probes;
+    # an eager localCheckpoint materializes the tokenization once and — unlike
+    # a bare persist() — its blocks are reclaimed by the ContextCleaner when
+    # the frame goes out of scope, so repeated calls in a long-lived session
+    # (bench, notebook, micro-batch) cannot accumulate cached frames.
+    base = base.localCheckpoint(eager=True)
     toks_x = base.select("_blk", F.col("_id"), F.explode("_toks").alias("_t"))
     dfreq = toks_x.groupBy("_blk", "_t").agg(F.count("*").alias("_df"))
     ordered = (

@@ -557,7 +557,17 @@ def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     out = resolve(spark, repo_files, PipelineConfig(shingle_k=3))
-    return out["clusters"].select("unique_id", "lang", "content_sha", "cluster_id")
+    # materialize the result, then release every frame the pipeline cached —
+    # a bench/notebook session running many queries must not accumulate them
+    from entity_resolution_spark.plans.pipeline import release
+
+    result = (
+        out["clusters"]
+        .select("unique_id", "lang", "content_sha", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    release(out)
+    return result
 
 
 def q_er_resolve_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,7 +601,15 @@ def q_er_resolve_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = resolve(spark, repo_files, cfg)
-    return out["clusters"].select("unique_id", "lang", "content_sha", "cluster_rep")
+    from entity_resolution_spark.plans.pipeline import release
+
+    result = (
+        out["clusters"]
+        .select("unique_id", "lang", "content_sha", "cluster_rep")
+        .localCheckpoint(eager=True)
+    )
+    release(out)
+    return result
 
 
 SQL_ER_RESOLVE_DOCS_EXACT = """

@@ -66,6 +66,37 @@ def stream_block_counts(
     )
 
 
+def _latest_snapshot_dir(base_path: str) -> tuple[str | None, int]:
+    """Newest COMPLETE (``_SUCCESS``-marked) versioned snapshot under ``base_path``.
+
+    Snapshots are written to ``{base}/v-{n}`` and never overwritten in place, so
+    a crash mid-write leaves a version without its ``_SUCCESS`` marker and the
+    prior snapshot stays readable — the atomic-swap discipline a plain
+    ``mode("overwrite")`` of one directory lacks. (Local-FS listing; a cloud
+    deployment swaps in the Hadoop FileSystem listing, same contract.)
+    """
+    import os
+
+    if not os.path.isdir(base_path):
+        return None, 0
+    versions = sorted(
+        int(d.split("-", 1)[1])
+        for d in os.listdir(base_path)
+        if d.startswith("v-")
+        and d.split("-", 1)[1].isdigit()
+        and os.path.exists(os.path.join(base_path, d, "_SUCCESS"))
+    )
+    if not versions:
+        return None, 0
+    return os.path.join(base_path, f"v-{versions[-1]}"), versions[-1]
+
+
+def latest_snapshot(spark: SparkSession, base_path: str) -> DataFrame | None:
+    """Read the current cluster-table snapshot (or None before the first batch)."""
+    d, _ = _latest_snapshot_dir(base_path)
+    return spark.read.parquet(d) if d else None
+
+
 def match_new_records_foreach_batch(
     spark: SparkSession,
     existing_clusters_path: str,
@@ -96,13 +127,20 @@ def match_new_records_foreach_batch(
         from entity_resolution_spark.functions.hashing import unique_id
         from entity_resolution_spark.plans.pipeline import release, resolve
 
+        import os
+        import shutil
+
         if not batch_df.take(1):
             return
         new = batch_df.drop("event_time").select(*raw_cols)
-        try:
-            prior = spark.read.parquet(existing_clusters_path).select(*raw_cols)
-        except Exception:
-            prior = None
+        # a transient read failure must FAIL the batch (the stream retries),
+        # not silently treat the corpus as empty — only "no snapshot yet" maps
+        # to prior=None, and _latest_snapshot_dir answers that from the
+        # directory listing without swallowing reader errors
+        prior_dir, prior_ver = _latest_snapshot_dir(existing_clusters_path)
+        prior = (
+            spark.read.parquet(prior_dir).select(*raw_cols) if prior_dir else None
+        )
         full = (
             new if prior is None
             else prior.unionByName(new).dropDuplicates(["repo", "path", "commit"])
@@ -115,10 +153,19 @@ def match_new_records_foreach_batch(
                 "unique_id",
             )
         )
-        # materialize + cut lineage BEFORE overwriting the table the plan reads
+        # materialize + cut lineage BEFORE touching the directory the plan reads
         snap = snap.localCheckpoint(eager=True)
         release(out)
-        snap.write.mode("overwrite").parquet(existing_clusters_path)
+        # versioned write + retention: the new snapshot only becomes current
+        # once its _SUCCESS lands; the previous version is pruned AFTER that,
+        # so no failure mode can destroy the last good table
+        next_dir = os.path.join(existing_clusters_path, f"v-{prior_ver + 1}")
+        snap.write.mode("overwrite").parquet(next_dir)
+        for d in os.listdir(existing_clusters_path):
+            if d.startswith("v-") and d != f"v-{prior_ver + 1}":
+                shutil.rmtree(
+                    os.path.join(existing_clusters_path, d), ignore_errors=True
+                )
         new_ids = new.select(unique_id().alias("unique_id"))
         (
             snap.join(new_ids, "unique_id", "left_semi")

@@ -75,3 +75,32 @@ def test_dense_random_graph_matches_union_find(spark):
     edges = spark.createDataFrame(pairs, "src long, dst long")
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == expected
+
+
+def test_fast_path_matches_distributed_loop(spark):
+    """The single-task union-find (small_graph_edges default) and the
+    alternating-star loop (forced with small_graph_edges=0) must emit identical
+    min-id labels — the threshold moves only the physical strategy."""
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    fast = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_fast_path_matches_distributed_loop_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("m", "x")], "src string, dst string"
+    )
+    fast = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist == {"a": "a", "b": "a", "c": "a", "x": "m", "y": "m", "m": "m"}

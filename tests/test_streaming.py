@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.streaming.incremental import (
+    latest_snapshot,
     match_new_records_foreach_batch,
     stream_block_counts,
     stream_exact_dedup,
@@ -109,8 +110,11 @@ def test_incremental_match_joins_prior_batch_entity(spark, tmp_path):
     body(batch1, 0)
     body(batch2, 1)
 
-    snap = spark.read.parquet(clusters_path)
+    snap = latest_snapshot(spark, clusters_path)
     assert snap.count() == 3
+    # versioned retention: only the newest snapshot survives, marked complete
+    vdirs = [d for d in os.listdir(clusters_path) if d.startswith("v-")]
+    assert vdirs == ["v-2"]
     by_sha = (
         snap.groupBy("content_sha")
         .agg(F.countDistinct("cluster_id").alias("n_clusters"), F.count("*").alias("n"))
