@@ -7,9 +7,10 @@ needs *search*: given probe vectors, the k nearest corpus vectors.
 - ``brute_force_topk``: exact — probe × corpus join with JVM ``zip_with`` dot
   products, window row_number for top-k. O(P·N); right when P is small or as the
   per-bucket step below.
-- ``lsh_ann_topk``: scale path — random-hyperplane (sign) LSH buckets, probes join
-  only their bucket (multi-probe over B tables), exact rerank inside. Sub-linear
-  candidate volume; recall bounded by table count.
+- ``lsh_ann_topk``: scale path — Charikar sign sketches (256-bit hyperplane
+  signature per vector), XOR+popcount Hamming screen against broadcast probe
+  sketches, exact cosine rerank inside the radius. One linear scan over packed
+  32-byte sketches instead of float vectors; recall set by the Hamming radius.
 
 Hyperplanes are seeded from literal constants (deterministic across runs/cluster
 sizes, like FastRP's id-seeded projections, ``am_combiner/combiners/fastRP.py:62-67``).
@@ -17,6 +18,7 @@ sizes, like FastRP's id-seeded projections, ``am_combiner/combiners/fastRP.py:62
 
 from __future__ import annotations
 
+import numpy as _np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,28 +162,21 @@ def blocked_cosine_pairs(
     )
 
 
-def _hyperplane_sign_key(vec_col: str, dim: int, n_planes: int, table: int):
-    """Sign-pattern bucket key for one hash table: bit i = sign(v · h_i) where
-    h_i[d] deterministic in (table, plane, d). The pseudo-random plane entries are
-    ±1 derived from a integer hash — computed as SQL expressions (JVM)."""
-    bits = []
-    for p_ in range(n_planes):
-        # h[d] = +1 if hash(table, plane, d) even else -1; dot = Σ v[d]*h[d]
-        dot = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda v, d: F.when(
-                    F.pmod(F.xxhash64(F.lit(table), F.lit(p_), d), 2) == 0, v
-                ).otherwise(-v),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    key = F.lit(table)
-    for b in bits:
-        key = key * 2 + b
-    return key.cast("long")
+# deterministic sketch planes: fixed literal seed, MT19937 stream is stable
+# across numpy versions/platforms by spec — every executor derives the SAME
+# planes, every run, every cluster size (FastRP-style seeded determinism)
+_SKETCH_SEED = 0x5EEDC0DE
+
+# byte-popcount lookup (numpy < 2.0 has no bitwise_count)
+_POPCNT8 = _np.unpackbits(
+    _np.arange(256, dtype=_np.uint8)[:, None], axis=1
+).sum(axis=1).astype(_np.int32)
+
+
+def _pack_signs(mat, planes):
+    """Rows × dim float → rows × (bits/8) uint8 sign-sketch (bit b = v·h_b > 0)."""
+    signs = (mat @ planes.T) > 0  # rows × bits bool
+    return _np.packbits(signs, axis=1)
 
 
 def lsh_ann_topk(
@@ -190,44 +185,93 @@ def lsh_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    probe_id_col: str | None = None,
+    sketch_bits: int = 256,
+    hamming_radius: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: union of per-table bucket joins, exact rerank within.
+    """Approximate top-k by Hamming-ranked sign sketches + exact rerank.
 
-    Candidates per probe ≈ N·T/2^planes — tune planes/tables to the corpus size.
-    Output schema matches brute_force_topk (rank may differ where recall < 1).
+    Round-2's bucket-join schedule (few planes × many tables) was slower than
+    the brute force it approximates: at the corpus's neighbor similarity
+    (cosine ≈ 0.3, per-plane agreement p ≈ 0.6, barely above the 0.5 of random
+    pairs) bucket LSH must either miss neighbors or flood candidates. The scale
+    design here is Charikar-sketch *ranking* instead of bucketing:
+
+    - every vector gets a ``sketch_bits``-bit hyperplane sign sketch
+      (one matmul + packbits per Arrow batch — 32 bytes/vector at 256 bits);
+    - one pass over the corpus screens ALL vectors against the broadcast probe
+      sketches with XOR+popcount (≈16× cheaper per candidate than a 64-dim
+      float dot, and the sketch array is what a 100 TB deployment keeps hot);
+    - rows within ``hamming_radius`` are exact-reranked with the true cosine
+      (the vectors are in the same partition — no second pass, no shuffle);
+    - a final per-probe window takes the global top-k.
+
+    E[hamming] = bits·θ/π, σ ≈ √(bits)/2: the default radius
+    ``bits/2 − 1.6·√bits/2`` (115 at 256) admits ≈5% of random directions
+    while catching ≥95% of cosine ≳ 0.3 neighbors — the recall/scan dial the
+    bench gate measures. Output schema matches :func:`brute_force_topk`
+    (rank may differ where recall < 1).
     """
-    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
-        parts = []
-        for t in range(n_tables):
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(id_alias),
-                    F.col(vec_col).alias(f"_{id_alias}_v"),
-                    _hyperplane_sign_key(vec_col, dim, n_planes, t).alias("_bucket"),
-                )
-            )
-        out = parts[0]
-        for p_ in parts[1:]:
-            out = out.unionByName(p_)
-        return out
+    import pandas as pd
 
-    cb = bucketed(corpus, "neighbor_id")
-    pb = bucketed(probes, "probe_id")
-    cand = (
-        pb.join(cb, "_bucket")
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", "_probe_id_v", "_neighbor_id_v")
-        .dropDuplicates(["probe_id", "neighbor_id"])
+    probe_id_col = probe_id_col or id_col
+    if hamming_radius is None:
+        hamming_radius = int(sketch_bits / 2 - 1.6 * (sketch_bits ** 0.5) / 2)
+
+    # the probe side is small by contract (same as brute_force_topk's
+    # broadcast) — ship ids/vectors to every scan task via Spark broadcast
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    ).collect()
+    if not probe_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, cosine double, rank int"
+        )
+    p_ids = _np.array([r["probe_id"] for r in probe_rows])
+    p_mat = _np.stack([_np.asarray(r["_pv"], dtype=_np.float64) for r in probe_rows])
+    p_norms = _np.linalg.norm(p_mat, axis=1)
+    p_norms[p_norms == 0] = 1.0
+    p_unit = p_mat / p_norms[:, None]
+    dim = p_mat.shape[1]
+    planes = _np.random.RandomState(_SKETCH_SEED).standard_normal((sketch_bits, dim))
+    p_sk = _pack_signs(p_unit, planes)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        {"ids": p_ids, "unit": p_unit, "sk": p_sk}
     )
-    scored = cand.select(
-        "probe_id",
-        "neighbor_id",
-        F.round(
-            cosine_array_cols(F.col("_probe_id_v"), F.col("_neighbor_id_v")), 6
-        ).alias("cosine"),
+    radius = int(hamming_radius)
+
+    def scan(batches):
+        pb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            mat = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["_v"].to_numpy()]
+            )
+            norms = _np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            sk = _pack_signs(unit, planes)
+            # N×P hamming via byte-XOR + popcount lookup
+            ham = _POPCNT8[sk[:, None, :] ^ pb["sk"][None, :, :]].sum(axis=2)
+            ci, pi = _np.where(
+                (ham <= radius) & (ids[:, None] != pb["ids"][None, :])
+            )
+            if not len(ci):
+                continue
+            cosine = _np.einsum("ij,ij->i", unit[ci], pb["unit"][pi])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pb["ids"][pi],
+                    "neighbor_id": ids[ci],
+                    "cosine": _np.round(cosine, 6),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = c.mapInPandas(
+        scan, schema="probe_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

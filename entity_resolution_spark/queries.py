@@ -533,14 +533,13 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     probes = e.where(F.col("vec_id") < 20)
-    # plane/table schedule tuned to the embedding table's neighbor structure:
-    # true top-5 neighbors sit near cosine ≈ 0.3-0.4 (θ ≈ 70°, per-plane
-    # agreement p ≈ 0.6), so few planes + many tables is required for recall —
-    # p²=0.36 per table, miss (1-0.36)^10 ≈ 0.012 → recall ≈ 0.99 (bench gate
-    # asserts ≥ 0.95 at sf0.01). At corpus scale, planes grow with log N only
-    # as fast as the target similarity allows; this is the documented LSH
-    # recall/candidate-volume dial.
-    return lsh_ann_topk(e, probes, k=5, dim=64, n_planes=2, n_tables=10)
+    # Hamming-ranked sign sketches (256 bits, radius 115): true top-5
+    # neighbors sit near cosine ≈ 0.3-0.4 — barely above the random-direction
+    # tail — so bucketed LSH either misses them or floods candidates
+    # (round-2's schedule lost to brute force). The sketch screen admits ≈5%
+    # of the corpus to exact rerank (bench gate asserts recall ≥ 0.95 at
+    # sf0.01); radius is the recall/scan dial.
+    return lsh_ann_topk(e, probes, k=5)
 
 
 def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,10 +64,12 @@ def test_lsh_recall_vs_brute_force(spark):
     }
     approx = {
         (r["probe_id"], r["neighbor_id"])
-        for r in lsh_ann_topk(vecs, probes, k=3, dim=8, n_planes=4, n_tables=8).collect()
+        for r in lsh_ann_topk(vecs, probes, k=3).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, recall  # 8 tables × 4 planes on random vectors
+    # 256-bit Hamming screen at the default radius catches nearly all true
+    # neighbors on random 8-dim vectors (E[ham] well inside radius at cos>0.3)
+    assert recall >= 0.9, recall
 
 
 def test_blocked_cosine_pairs_more_buckets_than_vectors(spark):
