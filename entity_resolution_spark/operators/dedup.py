@@ -188,6 +188,39 @@ def jaccard_dup_clusters(
     )
 
 
+def _band_candidates(stacked: DataFrame, cap: int) -> DataFrame:
+    """(``_bk``, ``_id``) band memberships → candidate (id_a, id_b), id_a < id_b.
+
+    Buckets at or under ``cap`` members emit the full within-bucket clique (the
+    lossless pair set). A bucket OVER ``cap`` is a boilerplate family — near-
+    identical texts that collide in every band — and its clique is Θ(n²): a
+    100k-member family would emit 5·10⁹ rows from one key. Those buckets
+    star-represent instead (every member pairs with the bucket's min id, O(n)
+    rows), the same degradation the pipeline applies to exact-sha blocks
+    (``pairs.star_pairs``). Pair-level completeness inside a crowded bucket
+    becomes connectivity-level completeness: downstream dedup clustering
+    (connected components over the verified pairs) is unchanged whenever the
+    family's members verify against the representative, which is exactly the
+    near-identical situation that crowds a bucket in the first place.
+    """
+    counts = stacked.groupBy("_bk").agg(
+        F.count("*").alias("_bn"), F.min("_id").alias("_rep")
+    )
+    s = stacked.join(counts, "_bk")
+    small = s.where(F.col("_bn") <= cap)
+    clique = (
+        small.alias("a")
+        .join(small.select("_bk", F.col("_id").alias("_idb")).alias("b"), "_bk")
+        .where(F.col("_id") < F.col("_idb"))
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    star = (
+        s.where((F.col("_bn") > cap) & (F.col("_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    return clique.unionByName(star).distinct()
+
+
 def minhash_lsh_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -196,13 +229,15 @@ def minhash_lsh_dup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     verify_threshold: float = 0.5,
+    band_cap: int = 256,
 ) -> DataFrame:
     """Scale path: shingle → MinHash → band-bucket join → verify with true Jaccard.
 
     The LSH candidate join is the 100 TB-safe path — pair count is bounded by band
     collisions, not block size². Candidates are then *verified* with the exact
     Jaccard so the output has no LSH false positives (false negatives bounded by
-    the band schedule: P(miss) = (1-s^r)^b).
+    the band schedule: P(miss) = (1-s^r)^b). Buckets over ``band_cap`` members
+    star-represent instead of going clique-quadratic (see ``_band_candidates``).
     """
     # two-step select: bind tokens to a column before the shingle window-slide
     # (HOF lambdas re-evaluate embedded child expressions per element — see
@@ -229,13 +264,7 @@ def minhash_lsh_dup_pairs(
             )
         ).alias("_bk"),
     )
-    cand = (
-        stacked.alias("a")
-        .join(stacked.alias("b"), "_bk")
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(stacked, band_cap)
     toks = base.select("_id", F.col("_sh"))
     a = toks.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = toks.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
@@ -255,6 +284,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     prefix_bits: int = 8,
+    band_cap: int = 256,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit Charikar sketch per doc, candidates = docs sharing
     an aligned ``prefix_bits``-bit band, verified by Hamming distance ≤ max_hamming.
@@ -265,7 +295,9 @@ def simhash_dup_pairs(
     candidate set COMPLETE — the output equals the exact Hamming-≤-6 pair set,
     which the bench recall gate asserts as recall 1.0. Narrower bands trade
     candidate volume for the guarantee; with 4×16 bits the guarantee drops to
-    d ≤ 3 (the round-1 configuration's documented gap).
+    d ≤ 3 (the round-1 configuration's documented gap). Buckets over
+    ``band_cap`` members star-represent instead of going clique-quadratic
+    (see ``_band_candidates``).
     """
     from entity_resolution_spark.functions.hashing import hamming64, simhash64, simhash_fold
 
@@ -277,7 +309,6 @@ def simhash_dup_pairs(
     n_bands = 64 // prefix_bits
     banded = sketch.select(
         "_id",
-        "_sim",
         F.explode(
             F.array(
                 *[
@@ -293,21 +324,19 @@ def simhash_dup_pairs(
             )
         ).alias("_bk"),
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), "_bk")
-        .where(F.col("a._id") < F.col("b._id"))
+    cand = _band_candidates(banded, band_cap)
+    # re-attach the narrow (id, sketch) frame — cheaper than carrying the
+    # sketch through the star/clique band machinery
+    sa = sketch.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"))
+    sb = sketch.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sim").alias("_sim_a"),
-            F.col("b._sim").alias("_sim_b"),
+            "id_a", "id_b", hamming64(F.col("_sim_a"), F.col("_sim_b")).alias("hamming")
         )
-        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
-    return cand.select(
-        "id_a", "id_b", hamming64(F.col("_sim_a"), F.col("_sim_b")).alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def embedding_near_dup_pairs(

@@ -58,6 +58,36 @@ def test_simhash_near_dups(spark):
     assert got[(1, 3)] <= 16
 
 
+def test_crowded_band_is_linear_not_quadratic(spark):
+    """A 1k-member boilerplate family (identical text) must NOT emit the ~500k-pair
+    clique from its shared band buckets: over band_cap the bucket star-represents,
+    so candidate and output volume stay O(n) and connectivity is preserved."""
+    fam = [(i, "exact same boilerplate license header repeated everywhere", "en")
+           for i in range(1000)]
+    other = [(5000, "completely different content about spark shuffles", "en")]
+    d = spark.createDataFrame(fam + other, SCHEMA)
+
+    mh = minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5, band_cap=64)
+    mh_pairs = mh.collect()
+    assert len(mh_pairs) == 999                      # star: (0, i) for every member
+    assert {(r["id_a"], r["id_b"]) for r in mh_pairs} == {(0, i) for i in range(1, 1000)}
+    assert all(r["jaccard"] == 1.0 for r in mh_pairs)
+
+    sh = simhash_dup_pairs(d, max_hamming=6, band_cap=64).collect()
+    assert len(sh) == 999
+    assert all(r["hamming"] == 0 for r in sh)
+
+    # under the cap the clique is untouched: the small-fixture pair sets are
+    # identical to the uncapped round-2 behavior (other tests assert content)
+    small = spark.createDataFrame(DOCS, SCHEMA)
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_dup_pairs(small, shingle_k=3, verify_threshold=0.5,
+                                               band_cap=10**9).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_dup_pairs(small, shingle_k=3, verify_threshold=0.5).collect()}
+    assert uncapped == capped
+
+
 def test_embedding_near_dup(spark):
     vecs = spark.createDataFrame(
         [
