@@ -94,6 +94,67 @@ def annotate_and_cluster(
     )
 
 
+def annotation_records(
+    pair_annotations: DataFrame,
+    url_a: str = "url_1",
+    content_a: str = "content_1",
+    url_b: str = "url_2",
+    content_b: str = "content_2",
+    entity_col: str = "entity_name",
+) -> DataFrame:
+    """Pair-annotation table → distinct record table (unique_id, content,
+    blocking_field).
+
+    Reference: the annotations provider stacks both sides of every annotated
+    pair into one article frame and dedups it
+    (``am_combiner/utils/data.py:442-471`` — urls 1+2 concatenated, entity name
+    repeated, ``drop_duplicates``). Relational form: union of the two side
+    projections, ``distinct``. One shuffle; the annotation file is human-sized.
+    """
+    a = pair_annotations.select(
+        F.col(url_a).alias("unique_id"),
+        F.col(content_a).alias("content"),
+        F.col(entity_col).alias("blocking_field"),
+    )
+    b = pair_annotations.select(
+        F.col(url_b).alias("unique_id"),
+        F.col(content_b).alias("content"),
+        F.col(entity_col).alias("blocking_field"),
+    )
+    return a.unionByName(b).distinct()
+
+
+def annotation_labeled_pairs(
+    pair_annotations: DataFrame,
+    url_a: str = "url_1",
+    url_b: str = "url_2",
+    entity_col: str = "entity_name",
+    result_col: str = "annotation_result",
+    positive_value: str = "Yes",
+) -> DataFrame:
+    """Pair-annotation table → (blocking_field, id_a, id_b, label) for
+    :func:`apply_label_overrides`.
+
+    Reference: ``_store_pairwise_annotation_mappings``
+    (``am_combiner/utils/data.py:473-508``) builds symmetric per-entity
+    url→urls maps, one per answer value. The relational equivalent is the
+    canonical (min, max) pair carrying ``label = (result == positive_value)``
+    — symmetry is the canonicalization, the per-entity keying is the retained
+    ``blocking_field`` column (the same url can be annotated under two
+    entities). A pair annotated both ways collapses to negative downstream
+    (``apply_label_overrides``'s negative-wins precedence).
+    """
+    lp = _canon_pairs(
+        pair_annotations, url_a, url_b, [entity_col, result_col]
+    )
+    return lp.select(
+        F.col(entity_col).alias("blocking_field"),
+        "id_a",
+        "id_b",
+        (F.col(result_col) == positive_value).alias("label"),
+    ).distinct()
+
+
 def ground_truth_from_annotations(
     records: DataFrame,
     edges: DataFrame,

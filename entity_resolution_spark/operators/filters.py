@@ -1,0 +1,64 @@
+"""Input-side record filters: name include/exclude and the ``max_names`` limit.
+
+Reference semantics being reproduced (not ported): the data provider trims its
+input frame before any visitor runs —
+``am_combiner/utils/data.py:185-195``: keep rows whose blocking field is in
+``entity_names``, drop rows in ``excluded_entity_names``, then truncate to the
+first ``max_names`` distinct names and keep only their rows.
+
+Spark design: the name lists are human-sized (config values), so both filters
+are ``isin`` predicates that Catalyst pushes into the scan; ``max_names``
+materializes the tiny distinct-name head on the driver and broadcasts it into
+a semi-join — one narrow shuffle-free pass over the records at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_entity_names(
+    records: DataFrame,
+    blocking_col: str = "blocking_field",
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Keep/drop records by blocking-field membership (``utils/data.py:185-190``)."""
+    out = records
+    if include:
+        out = out.where(F.col(blocking_col).isin(list(include)))
+    if exclude:
+        out = out.where(~F.col(blocking_col).isin(list(exclude)))
+    return out
+
+
+def limit_names(
+    records: DataFrame,
+    max_names: int | None,
+    blocking_col: str = "blocking_field",
+    order_by: Column | str | None = None,
+) -> DataFrame:
+    """Truncate to the first ``max_names`` distinct names; keep all their records
+    (``utils/data.py:191-195``).
+
+    The reference takes names in input-frame row order; a distributed frame has
+    no row order, so the contract here is explicit: names rank by
+    ``min(order_by)`` when given (e.g. an ingest timestamp or line number),
+    else by the name itself — both deterministic under any partitioning.
+    """
+    if not max_names:
+        return records
+    rank_key = (
+        F.min(order_by).alias("_rk")
+        if order_by is not None
+        else F.min(F.col(blocking_col)).alias("_rk")
+    )
+    head = (
+        records.groupBy(blocking_col)
+        .agg(rank_key)
+        .orderBy(F.col("_rk").asc(), F.col(blocking_col).asc())
+        .limit(int(max_names))
+        .select(blocking_col)
+    )
+    return records.join(F.broadcast(head), blocking_col, "left_semi")

@@ -72,3 +72,64 @@ def test_ground_truth_from_annotations_preserves_rows(spark):
     gt = {r["unique_id"]: r["ground_truth"] for r in out.collect()}
     assert gt["r1"] == gt["r2"] == gt["r3"]    # chained via annotation
     assert set(out.columns) == {"unique_id", "payload", "ground_truth"}
+
+
+def test_annotation_pair_file_ingestion(spark):
+    """Pair CSV → records + labeled pairs (reference utils/data.py:442-508):
+    both sides stacked and deduped; symmetric per-entity label pairs."""
+    from entity_resolution_spark.operators.annotations import (
+        annotation_labeled_pairs,
+        annotation_records,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("u1", "text one", "u2", "text two", "Alice", "Yes"),
+            ("u2", "text two", "u3", "text three", "Alice", "No"),
+            ("u3", "text three", "u2", "text two", "Alice", "No"),  # reversed dup
+            ("u1", "text one", "u4", "text four", "Bob", "Yes"),    # u1 under 2nd entity
+        ],
+        "url_1 string, content_1 string, url_2 string, content_2 string,"
+        "entity_name string, annotation_result string",
+    )
+    recs = annotation_records(pairs).collect()
+    got = {(r["unique_id"], r["blocking_field"]): r["content"] for r in recs}
+    assert len(recs) == len(got) == 5  # u1/u2/u3 under Alice + u1/u4 under Bob
+    assert got[("u1", "Alice")] == "text one" and got[("u1", "Bob")] == "text one"
+    assert got[("u3", "Alice")] == "text three"
+
+    lp = annotation_labeled_pairs(pairs).collect()
+    got_lp = {(r["blocking_field"], r["id_a"], r["id_b"]): r["label"] for r in lp}
+    # reversed duplicate annotation collapses to ONE canonical row
+    assert len(lp) == 3
+    assert got_lp[("Alice", "u1", "u2")] is True
+    assert got_lp[("Alice", "u2", "u3")] is False
+    assert got_lp[("Bob", "u1", "u4")] is True
+
+
+def test_name_filters_and_max_names(spark):
+    """Reference utils/data.py:185-195: include/exclude isin filters, then the
+    first max_names distinct names keep all their records."""
+    from entity_resolution_spark.operators.filters import (
+        filter_entity_names,
+        limit_names,
+    )
+
+    recs = spark.createDataFrame(
+        [("r1", "Alice", 3), ("r2", "Alice", 1), ("r3", "Bob", 2),
+         ("r4", "Carol", 0), ("r5", "Dave", 4)],
+        "unique_id string, blocking_field string, ingest_order long",
+    )
+    inc = filter_entity_names(recs, include=["Alice", "Bob"])
+    assert {r["unique_id"] for r in inc.collect()} == {"r1", "r2", "r3"}
+    exc = filter_entity_names(recs, exclude=["Alice"])
+    assert {r["unique_id"] for r in exc.collect()} == {"r3", "r4", "r5"}
+
+    # name-order contract: ascending name → Alice, Bob (both Alice rows kept)
+    byname = limit_names(recs, 2)
+    assert {r["unique_id"] for r in byname.collect()} == {"r1", "r2", "r3"}
+    # explicit order column: min(ingest_order) → Carol(0), Alice(1)
+    byorder = limit_names(recs, 2, order_by="ingest_order")
+    assert {r["unique_id"] for r in byorder.collect()} == {"r1", "r2", "r4"}
+    # no limit → unchanged
+    assert limit_names(recs, None).count() == 5
