@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.strings import jaro_winkler_udf, levenshtein_sim
 from entity_resolution_spark.functions.vectors import cosine_jaccard_udf
+from entity_resolution_spark.operators.adjacency import feature_intersection_edges
 
 # Feature columns produced by build_pair_features, in scorer order.
 # soundex_stem = phonetic equality of the path stems, the code-domain analog of
@@ -104,6 +105,43 @@ def logistic_score(pair_features: DataFrame, w: ScorerWeights | None = None) -> 
         z = z + F.lit(coef) * F.coalesce(F.col(name), F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return pair_features.select("id_a", "id_b", *PAIR_FEATURES, score.alias("score"))
+
+
+def feature_boost_similarities(
+    sim_edges: DataFrame,
+    records: DataFrame,
+    feature_cols: list[str],
+    max_energy: int = 75,
+    id_col: str = "unique_id",
+    sim_col: str = "score",
+) -> DataFrame:
+    """Boost pairwise similarities by clipped feature-intersection energy.
+
+    Reference arithmetic reproduced exactly
+    (``am_combiner/combiners/tfidf.py:318-353``):
+    ``sim += clip(Σ_f |shared values in f|, 0, max_energy) / max_energy`` —
+    golden 0.45 → 0.48 at max_energy 30 with one shared LOC value
+    (``test/combiners/test_tfidf.py:18-65``).
+
+    The reference adds the boost into a DENSE within-block matrix, so a pair
+    with zero cosine but shared features still gains energy; the relational
+    equivalent is a full-outer join of the (canonical id_a < id_b) similarity
+    edges with the intersection edges, similarity coalesced to 0. One groupBy
+    shuffle for the intersections (posting-list bounded), one pair-key join.
+    """
+    boosts = feature_intersection_edges(records, feature_cols, id_col=id_col)
+    boost = (
+        F.least(F.coalesce(F.col("weight"), F.lit(0.0)), F.lit(float(max_energy)))
+        / F.lit(float(max_energy))
+    )
+    return (
+        sim_edges.join(boosts, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            (F.coalesce(F.col(sim_col), F.lit(0.0)) + boost).alias(sim_col),
+        )
+    )
 
 
 def match_edges(

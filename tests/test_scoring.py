@@ -82,3 +82,44 @@ def test_large_block_threshold_bump(spark):
     )
     kept = {(r["id_a"], r["id_b"]) for r in match_edges(scored, w, sizes).collect()}
     assert kept == {("c", "d")}   # big-block pair needs > 0.8 now
+
+
+def test_feature_boost_reference_golden(spark):
+    """Reference golden (test/combiners/test_tfidf.py:18-65): cosine 0.45 between
+    tfidf vectors [1,0,2] and [2,0,0]; one shared LOC value at max_energy 30
+    boosts to 0.48 (clip-sum / max_energy arithmetic, tfidf.py:318-353)."""
+    import math
+
+    from entity_resolution_spark.operators.scoring import feature_boost_similarities
+
+    cos = 2.0 / (math.sqrt(5.0) * 2.0)  # <[1,0,2],[2,0,0]> normalized = 0.4472
+    sim = spark.createDataFrame(
+        [("a1", "a2", cos)], "id_a string, id_b string, score double"
+    )
+    recs = spark.createDataFrame(
+        [
+            ("a1", ["Michigan ", "Hollywood ", "Toronto"]),
+            ("a2", ["Romania ", "Toronto", "Italy"]),
+        ],
+        "unique_id string, loc array<string>",
+    )
+    assert round(cos, 2) == 0.45
+    out = feature_boost_similarities(sim, recs, ["loc"], max_energy=30).collect()
+    assert len(out) == 1
+    assert round(out[0]["score"], 2) == 0.48
+
+    # dense-matrix semantics: a pair below the scorer (no sim edge) still gains
+    # pure boost energy; a scored pair with no shared features is unchanged
+    sim2 = spark.createDataFrame(
+        [("a1", "a3", 0.2)], "id_a string, id_b string, score double"
+    )
+    recs2 = spark.createDataFrame(
+        [("a1", ["x", "y"]), ("a2", ["x"]), ("a3", ["z"])],
+        "unique_id string, loc array<string>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in feature_boost_similarities(sim2, recs2, ["loc"], max_energy=2).collect()
+    }
+    assert got[("a1", "a2")] == 0.5   # pure boost: 1 shared / max_energy 2
+    assert got[("a1", "a3")] == 0.2   # untouched
