@@ -12,10 +12,12 @@ Reference semantics being reproduced:
 
 Spark design: the candidate-pair DataFrame joins the per-record feature table twice
 (shuffle on id both times — at scale, bucket the feature table by unique_id so both
-probes co-locate without reshuffling); all set/string features are JVM expressions;
-only the sparse-cosine and Jaro-Winkler run as Arrow-batched pandas UDFs; the
-logistic fusion itself is a plain SQL expression (sigmoid of a dot product), so the
-scorer adds zero Python overhead.
+probes co-locate without reshuffling); set/string features that Spark has built-ins
+for (levenshtein, soundex, equality) are JVM expressions computed before the Python
+boundary; the sparse-cosine/jaccard intersect and Jaro-Winkler run in ONE zero-copy
+``mapInArrow`` pass (functions/arrow_kernels.py — no pandas object arrays, binary-
+search intersect over pre-sorted term ids); the logistic fusion itself is a plain
+SQL expression (sigmoid of a dot product), so the scorer adds zero Python overhead.
 """
 
 from __future__ import annotations
@@ -25,8 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from entity_resolution_spark.functions.strings import jaro_winkler_udf, levenshtein_sim
-from entity_resolution_spark.functions.vectors import cosine_jaccard_udf
+from entity_resolution_spark.functions.strings import levenshtein_sim
 from entity_resolution_spark.operators.adjacency import feature_intersection_edges
 
 # Feature columns produced by build_pair_features, in scorer order.
@@ -53,6 +54,7 @@ def build_pair_features(
     features: DataFrame,
     vectors: DataFrame,
     persisted: list | None = None,
+    block_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """pairs(id_a, id_b, is_exact) ⋈ features ⋈ vectors → per-pair feature columns.
 
@@ -60,6 +62,9 @@ def build_pair_features(
     ``vectors``:  unique_id, terms, weights (terms ARE the hashed shingles, so
     cosine and jaccard both come from one batched UDF over terms/weights — the
     wide shingle arrays never enter the pair join).
+    ``block_sizes``: optional (unique_id, block_n); when given, the pair-level
+    ``block_n = greatest(block_n_a, block_n_b)`` rides through the scoring kernel
+    so :func:`match_edges` applies the large-block bump with no extra join.
     """
     # the features⋈vectors frame probes the pair table twice (a-side and b-side);
     # persist so the join runs once (plan trees duplicate unshared subtrees)
@@ -68,7 +73,12 @@ def build_pair_features(
     feat = features.join(vectors, "unique_id", "left").select(
         "unique_id", "lang", F.unhex("content_sha").alias("content_sha"),
         "stem", "terms", "weights"
-    ).persist()
+    )
+    if block_sizes is not None:
+        feat = feat.join(
+            block_sizes.select("unique_id", "block_n"), "unique_id", "left"
+        )
+    feat = feat.persist()
     if persisted is not None:
         persisted.append(feat)  # caller releases once downstream is materialized
     a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
@@ -77,15 +87,24 @@ def build_pair_features(
         pairs.join(a, pairs["id_a"] == a["unique_id_a"])
         .join(b, pairs["id_b"] == b["unique_id_b"])
     )
-    p = p.withColumn(
-        "_cj", cosine_jaccard_udf("terms_a", "weights_a", "terms_b", "weights_b")
+    # JVM-expressible features are computed BEFORE the Python boundary and ride
+    # through the Arrow batch untouched; cosine/jaccard/jw come from the one
+    # zero-copy kernel pass (arrow_kernels.score_pair_batches).
+    block_n = (
+        F.greatest("block_n_a", "block_n_b")
+        if block_sizes is not None
+        else F.lit(None).cast("long")
     )
-    return p.select(
+    pre = p.select(
         "id_a",
         "id_b",
-        F.col("_cj.cosine").alias("cosine"),
-        F.col("_cj.jaccard").alias("jaccard"),
-        jaro_winkler_udf("stem_a", "stem_b").alias("jw_stem"),
+        "terms_a",
+        "weights_a",
+        "terms_b",
+        "weights_b",
+        "stem_a",
+        "stem_b",
+        block_n.alias("block_n"),
         levenshtein_sim(F.col("stem_a"), F.col("stem_b")).alias("lev_stem"),
         (F.soundex("stem_a") == F.soundex("stem_b")).cast("double").alias("soundex_stem"),
         (F.col("lang_a") == F.col("lang_b")).cast("double").alias("same_lang"),
@@ -95,6 +114,12 @@ def build_pair_features(
         # contents; here it just costs one scored candidate pair.
         (F.col("content_sha_a") == F.col("content_sha_b")).cast("double").alias("exact"),
     )
+    from entity_resolution_spark.functions.arrow_kernels import (
+        PAIR_FEATURE_SCHEMA,
+        score_pair_batches,
+    )
+
+    return pre.mapInArrow(score_pair_batches, PAIR_FEATURE_SCHEMA)
 
 
 def logistic_score(pair_features: DataFrame, w: ScorerWeights | None = None) -> DataFrame:
@@ -104,7 +129,10 @@ def logistic_score(pair_features: DataFrame, w: ScorerWeights | None = None) -> 
     for coef, name in zip(w.weights, PAIR_FEATURES):
         z = z + F.lit(coef) * F.coalesce(F.col(name), F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return pair_features.select("id_a", "id_b", *PAIR_FEATURES, score.alias("score"))
+    extras = [c for c in ("block_n",) if c in pair_features.columns]
+    return pair_features.select(
+        "id_a", "id_b", *PAIR_FEATURES, *extras, score.alias("score")
+    )
 
 
 def feature_boost_similarities(
@@ -158,7 +186,12 @@ def match_edges(
     """
     w = w or ScorerWeights()
     th = F.lit(w.threshold)
-    if block_sizes is not None:
+    if block_sizes is None and "block_n" in scored.columns:
+        # block_n rode through the scoring kernel (build_pair_features
+        # block_sizes=) — apply the bump as a pure predicate, no join
+        big = F.coalesce(F.col("block_n"), F.lit(0)) > w.large_block_size
+        th = th + F.when(big, F.lit(w.large_block_bump)).otherwise(F.lit(0.0))
+    elif block_sizes is not None:
         bs_a = block_sizes.select(
             F.col("unique_id").alias("id_a"), F.col("block_n").alias("_bn_a")
         )

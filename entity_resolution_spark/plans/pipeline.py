@@ -36,7 +36,6 @@ from entity_resolution_spark.operators.scoring import (
     logistic_score,
     match_edges,
 )
-from entity_resolution_spark.operators.splitters import apply_negative_edge_splitter
 from entity_resolution_spark.plans.checkpoint import CheckpointStore
 
 
@@ -171,8 +170,6 @@ def resolve(
     pairs = stage("candidate_pairs", lambda: candidate_pairs(assignments))
 
     def compute_edges():
-        pf = build_pair_features(pairs, fi, vectors, persisted=persisted)
-        scored = logistic_score(pf, cfg.scorer)
         block_sizes = (
             assignments.groupBy("block_key")
             .agg(F.count("*").alias("_n"))
@@ -180,10 +177,21 @@ def resolve(
             .groupBy("unique_id")
             .agg(F.max("_n").alias("block_n"))
         )
-        edges = match_edges(scored, cfg.scorer, block_sizes)
+        # block_n joins into the per-record feat frame and rides through the
+        # scoring kernel; the splitter is a predicate on pair features already
+        # computed (same_lang/exact) — the old post-scoring joins re-derived
+        # both from fi at the cost of two broadcast builds per run
+        pf = build_pair_features(
+            pairs, fi, vectors, persisted=persisted, block_sizes=block_sizes
+        )
+        scored = logistic_score(pf, cfg.scorer)
         if cfg.use_splitter:
-            edges = apply_negative_edge_splitter(edges, fi)
-        return edges
+            # delete-negative-edges semantics (splitters.py): lang must agree
+            # unless content is byte-identical; null lang on either side splits
+            scored = scored.where(
+                (F.col("same_lang") == 1.0) | (F.col("exact") == 1.0)
+            )
+        return match_edges(scored, cfg.scorer)
 
     edges = stage("match_edges", compute_edges)
 
