@@ -118,20 +118,27 @@ def main() -> int:
     # warm up the JVM/Arrow paths so per-query times measure the queries
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.monotonic()
-        try:
-            n = fn(spark, sf_dir).count()
-            dt = time.monotonic() - t0
-            times[name] = round(dt, 3)
-            total += dt
-            print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
-        except Exception as e:  # keep the harness robust: one bad query ≠ no bench
-            times[name] = -1.0
-            print(f"# {name}: ERROR {e}", file=sys.stderr)
+    # Two alternating passes over the full list, min-wall per query: the
+    # sandbox host is SHARED, and a neighbor's load burst during a single-shot
+    # run misattributes tens of seconds to whichever query it hits (round-2
+    # bench showed 27.7s single-shot vs 9.8s warm for the same query). The
+    # passes are spaced so one burst cannot hit both reps of a query.
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            try:
+                n = fn(spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                reps[name].append(dt)
+                print(f"# {name}[{rep}]: {dt:.2f}s rows={n}", file=sys.stderr)
+            except Exception as e:  # keep the harness robust: one bad query ≠ no bench
+                print(f"# {name}[{rep}]: ERROR {e}", file=sys.stderr)
+    times = {
+        name: (round(min(ds), 3) if ds else -1.0) for name, ds in reps.items()
+    }
+    total = sum(t for t in times.values() if t > 0)
 
     try:
         recalls = recall_gates(spark)

@@ -39,7 +39,9 @@ def tfidf_vectors(
     ``min_df=5, max_df=0.95``) — this is also the posting-list-cap defense against
     skewed shingles (license headers).
     """
-    n_docs = docs.select(id_col).distinct().count()
+    # contract: id_col is unique per row (the pipeline's unique_id), so a plain
+    # count avoids a full distinct shuffle before the plan even builds
+    n_docs = docs.count()
     tf = (
         docs.select(F.col(id_col).alias("_id"), F.explode(F.col(term_col)).alias("_t"))
         .groupBy("_id", "_t")

@@ -57,6 +57,15 @@ class BlockingConfig:
     # wall 75s → 34s). MinHash bands are exempt: a crowded band is genuine
     # mutual similarity, handled by salted caps instead.
     common_key_max: int = 16
+    # How oversized similarity blocks are broken up:
+    #   "salt"         — deterministic id-hash sub-blocks (fast; may separate a
+    #                    true entity's records within that key family);
+    #   "split_by_key" — the reference CountryBlocker's recall-preserving path
+    #                    (blockers/country.py:34-65): sub-block by a secondary
+    #                    key (path tokens), ambiguous/keyless records assigned
+    #                    by argmax mean connectivity over fingerprint-evidence
+    #                    edges; residual pathological sub-blocks still salt.
+    oversize_strategy: str = "salt"
 
 
 def exact_sha_blocks(features: DataFrame, cfg: BlockingConfig) -> DataFrame:
@@ -293,9 +302,13 @@ def split_oversized_blocks_by_key(
         F.array_distinct(F.col(keys_col)).alias("_keys"),
     ).withColumn("_nk", F.size("_keys")).persist()
 
+    # sym feeds BOTH the anchor-connectivity and neighbor-key subtrees, and the
+    # whole result is re-consumed by downstream sizing joins — without a
+    # materialization boundary the evidence-edge subtree is duplicated
+    # multiplicatively into the final plan (plan trees, not DAGs)
     sym = edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")).union(
         edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
-    )
+    ).persist()
     anchors = big.where(F.col("_nk") == 1).select(
         "_id", "_blk", F.element_at("_keys", 1).alias("_key")
     )
@@ -338,7 +351,7 @@ def split_oversized_blocks_by_key(
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select("_id", "_blk", "_key")
-    )
+    ).persist()  # consumed twice (isolated anti-join + assigned union)
     isolated = none_rec.join(picked.select("_id"), "_id", "left_anti").select(
         "_id", "_blk", F.lit(null_key).alias("_key")
     )
@@ -347,8 +360,16 @@ def split_oversized_blocks_by_key(
         F.col("_id").alias(id_col),
         F.concat_ws("+", "_blk", "_key").alias(block_col),
     )
-    result = small.unionByName(out_big)
+    # materialize + truncate lineage at the operator boundary: the internal
+    # tree (sym reused twice, picked twice, window over 3 joins) would
+    # otherwise be re-expanded by every downstream consumer — the plan-tree
+    # duplication that melts Catalyst when this feeds further sizing joins.
+    # The operator runs on the oversized-block subset only, so the eager
+    # materialization is a bounded stage even at cluster scale.
+    result = small.unionByName(out_big).localCheckpoint(eager=True)
     big.unpersist()
+    sym.unpersist()
+    picked.unpersist()
     return result
 
 
@@ -363,38 +384,100 @@ def block_assignments(
     """
     cfg = cfg or BlockingConfig()
 
-    def drop_common(blocks: DataFrame) -> DataFrame:
-        """Exclude keys shared by more than common_key_max records (no linking
-        evidence; see BlockingConfig) — one small groupBy + semi-join."""
-        if cfg.common_key_max is None:
-            return blocks
-        keep = (
-            blocks.groupBy("block_key")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= cfg.common_key_max)
-            .select("block_key")
-        )
-        return blocks.join(keep, "block_key", "left_semi")
-
     parts = [exact_sha_blocks(features, cfg)]
     if cfg.use_path_tokens:
-        parts.append(drop_common(path_token_blocks(features)))
+        parts.append(path_token_blocks(features))
     if cfg.use_minhash:
         parts.append(minhash_band_blocks(features, cfg))
     if cfg.use_fingerprints and "fingerprints" in features.columns:
-        parts.append(drop_common(fingerprint_blocks(features)))
+        parts.append(fingerprint_blocks(features))
     asg = parts[0]
     for p in parts[1:]:
         asg = asg.unionByName(p)
-    # The union is consumed THREE times downstream (sha filter, sim filter, and
-    # the cap-sizes join). Spark plans are trees, not DAGs — without a
-    # materialization boundary the whole minhash subtree executes 3×. persist()
-    # collapses that to once (at cluster scale this is the stage checkpoint).
+    # The union feeds one sizing aggregation and one join — persist so the
+    # minhash/fingerprint subtrees execute once (Spark plans are trees, not
+    # DAGs; at cluster scale this is the stage checkpoint).
     asg = asg.persist()
     if persisted is not None:
         persisted.append(asg)  # caller releases once downstream is materialized
-    # exact-sha blocks are never salted apart (their pairs are stars anyway);
-    # similarity blocks get capped
-    sha_part = asg.where(F.col("block_key").startswith("sha:"))
-    sim_part = asg.where(~F.col("block_key").startswith("sha:"))
-    return sha_part.unionByName(apply_block_caps(sim_part, cfg.block_cap))
+
+    # ONE sizing pass for every policy (was three groupBy+join rounds — each
+    # shuffle barrier is fixed per-query-stage latency that caps scaling):
+    #   - exact-value families (path:/fp:) drop keys more common than
+    #     common_key_max (no linking evidence — block-level max_df pruning);
+    #   - sha: blocks pass through uncapped (their pairs are stars);
+    #   - everything else over block_cap splits into salted sub-blocks.
+    # common_key_max < block_cap, so kept exact-value keys are never salted —
+    # the fused CASE is exactly the old sequential semantics.
+    sizes = asg.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    joined = asg.join(sizes, "block_key")
+    is_sha = F.col("block_key").startswith("sha:")
+    is_exact_val = F.col("block_key").startswith("path:") | F.col(
+        "block_key"
+    ).startswith("fp:")
+    if cfg.common_key_max is not None:
+        joined = joined.where(~(is_exact_val & (F.col("_bs") > cfg.common_key_max)))
+
+    if cfg.oversize_strategy == "split_by_key":
+        keep = joined.where(is_sha | (F.col("_bs") <= cfg.block_cap)).select(
+            "unique_id", "block_key"
+        )
+        over = joined.where(~is_sha & (F.col("_bs") > cfg.block_cap)).select(
+            "unique_id", "block_key"
+        ).persist()  # consumed by members-distinct, recs join and split sizing
+        if persisted is not None:
+            persisted.append(over)
+        split = _split_oversized_with_fingerprint_evidence(over, features, cfg)
+        # recall-preserving split first; salting remains the last-resort bound
+        # on any sub-block a popular secondary key left pathological
+        return keep.unionByName(apply_block_caps(split, cfg.block_cap))
+
+    n_sub = F.ceil(F.col("_bs") / F.lit(cfg.block_cap)).cast("long")
+    salted = F.when(
+        is_sha | (F.col("_bs") <= cfg.block_cap), F.col("block_key")
+    ).otherwise(
+        F.concat_ws(
+            "#", F.col("block_key"), F.pmod(F.xxhash64("unique_id"), n_sub).cast("string")
+        )
+    )
+    return joined.select(F.col("unique_id"), salted.alias("block_key"))
+
+
+def _split_oversized_with_fingerprint_evidence(
+    over: DataFrame, features: DataFrame, cfg: BlockingConfig
+) -> DataFrame:
+    """Oversized-block rows → CountryBlocker-style sub-blocks.
+
+    Secondary keys = path tokens (multi-valued, possibly empty — the code-domain
+    analog of the reference's extracted country codes); connectivity evidence =
+    shared winnowing fingerprints among the oversized blocks' members, with
+    crowded fingerprints dropped (same ``common_key_max`` bound as blocking, so
+    the evidence-edge count stays posting-list bounded at scale).
+    """
+    members = over.select("unique_id").distinct()
+    # mf feeds both the split-key projection and the fingerprint explode —
+    # persist so the feature-extraction subtree isn't duplicated in the plan
+    mf = features.join(members, "unique_id", "left_semi").persist()
+    recs = over.join(
+        mf.select("unique_id", F.col("path_toks").alias("split_keys")), "unique_id"
+    )
+    fpx = mf.select("unique_id", F.explode("fingerprints").alias("_fp"))
+    if cfg.common_key_max is not None:
+        rare = (
+            fpx.groupBy("_fp")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= cfg.common_key_max)
+            .select("_fp")
+        )
+        fpx = fpx.join(rare, "_fp", "left_semi")
+    a = fpx.select(F.col("_fp"), F.col("unique_id").alias("id_a"))
+    b = fpx.select(F.col("_fp"), F.col("unique_id").alias("id_b"))
+    edges = (
+        a.join(b, "_fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = split_oversized_blocks_by_key(recs, edges, min_split_size=cfg.block_cap)
+    mf.unpersist()  # out is already materialized (localCheckpoint)
+    return out

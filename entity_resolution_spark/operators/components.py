@@ -132,10 +132,14 @@ def connected_components(
     """
     # persist BEFORE the sizing count: the input subtree (often an expensive
     # similarity join) would otherwise execute twice — once for count(), once
-    # for the eager checkpoint that seeds the loop
+    # for the eager checkpoint that seeds the loop. NO distinct() here: the
+    # union-find kernel tolerates duplicate edges natively (np.unique over
+    # endpoints), so the raw count is a valid (upper-bound) path selector and
+    # the small path skips a whole shuffle barrier; the distributed loop
+    # dedupes below since every star round's cost scales with |E|.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
-    ).distinct().persist()
+    ).persist()
     n_edges = e.count()
     if n_edges == 0:
         out = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
@@ -147,7 +151,7 @@ def connected_components(
         out = _single_task_components(e).localCheckpoint(eager=True)
         e.unpersist()
         return out
-    seed = e.repartition("src").localCheckpoint(eager=True)
+    seed = e.distinct().repartition("src").localCheckpoint(eager=True)
     e.unpersist()
     return _cc_loop(seed, max_iterations)
 

@@ -205,3 +205,53 @@ def test_split_oversized_isolated_no_key_gets_null_bucket(spark):
     out = split_oversized_blocks_by_key(records, edges, min_split_size=3)
     got = {r["unique_id"]: r["block_key"] for r in out.collect()}
     assert got["i"] == "big+00"
+
+
+def test_oversize_split_by_key_recall_vs_salting(spark):
+    """Flagship wiring of the recall-preserving blocker (VERDICT r2 ask #5):
+    with a cap small enough that shared-key blocks overflow, the CountryBlocker-
+    style split must recover at least as many true same-entity candidate pairs
+    as id-hash salting, and both must feed an otherwise-identical pipeline."""
+    from entity_resolution_spark.operators.blocking import (
+        BlockingConfig,
+        block_assignments,
+    )
+    from entity_resolution_spark.operators.pairs import candidate_pairs
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, extract_features
+    from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
+
+    import pyspark.sql.functions as F
+
+    repo_files, ground_truth, _ = corpus_dataframes(
+        spark,
+        SynthConfig(
+            seed=7, n_entities=40, shared_block_fraction=0.7,
+            entities_per_shared_block=4,
+        ),
+    )
+    feats = extract_features(repo_files, PipelineConfig()).persist()
+    gt = ground_truth.select("unique_id", "ground_truth")
+    truth_pairs = (
+        gt.alias("a")
+        .join(gt.alias("b"), F.col("a.ground_truth") == F.col("b.ground_truth"))
+        .where(F.col("a.unique_id") < F.col("b.unique_id"))
+        .select(
+            F.col("a.unique_id").alias("id_a"), F.col("b.unique_id").alias("id_b")
+        )
+        .persist()
+    )
+    n_truth = truth_pairs.count()
+    assert n_truth > 0
+
+    recall = {}
+    for strategy in ("salt", "split_by_key"):
+        cfg = BlockingConfig(block_cap=6, oversize_strategy=strategy)
+        asg = block_assignments(feats, cfg)
+        pairs = candidate_pairs(asg).select("id_a", "id_b")
+        hits = pairs.join(truth_pairs, ["id_a", "id_b"], "left_semi").count()
+        recall[strategy] = hits / n_truth
+    print("OVERSIZE A/B RECALL:", recall)
+    assert recall["split_by_key"] >= recall["salt"]
+    assert recall["split_by_key"] >= 0.95
+    feats.unpersist()
+    truth_pairs.unpersist()
