@@ -625,6 +625,118 @@ FROM r
 """
 
 
+def q_sanction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested-JSON normalization (the sanction visitor family,
+    reference ``features/common.py:336-530``): a raw-entity JSON document is
+    constructed deterministically per customer, then parsed + flattened by the
+    JVM-only extractors in ``operators/sanctions.py``. The oracle computes the
+    same outputs straight from the source columns — so the JSON round-trip and
+    every extractor expression are what is actually under test.
+
+    (``alias_phonetic`` is exercised by unit-test goldens instead: DuckDB has
+    no soundex, so it can't appear in a hash-compared oracle output.)
+    """
+    from entity_resolution_spark.operators.sanctions import sanction_features
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    y = (F.lit(1900) + k % 100).cast("int")
+    s = (k % 3).cast("int")
+    ystr = y.cast("string")
+
+    def _birth(lo, hi):
+        return F.struct(lo.alias("min_date"), hi.alias("max_date"))
+
+    births = (
+        F.when(k % 11 == 0, F.lit(None).cast(
+            "array<struct<min_date:string,max_date:string>>"))
+        .when(k % 5 == 0, F.array(_birth(
+            F.concat(ystr, F.lit("-06-15")), F.concat(ystr, F.lit("-06-15")))))
+        .when(k % 5 == 1, F.array(_birth(
+            F.concat(ystr, F.lit("-01-01")),
+            F.concat((y + s).cast("string"), F.lit("-01-01")))))
+        .otherwise(F.array(
+            _birth(F.concat(ystr, F.lit("-01-01")),
+                   F.concat((y + s).cast("string"), F.lit("-12-31"))),
+            _birth(F.concat((y + 4).cast("string"), F.lit("-01-01")),
+                   F.concat((y + 4).cast("string"), F.lit("-12-31"))),
+        ))
+    )
+    names = F.array(
+        F.struct(F.col("c_name").alias("name"), F.lit("primary").alias("name_type")),
+        F.struct(
+            F.concat_ws(" ", "c_mktsegment", "c_name").alias("name"),
+            F.lit("aka").alias("name_type"),
+        ),
+    )
+    locations = F.array(F.struct(
+        F.format_string("C%02d", "c_nationkey").alias("country_code"),
+        F.when(k % 17 == 0, F.lit("International")).otherwise(F.lit("HQ"))
+        .alias("original_name"),
+    ))
+    raw = c.select(
+        "c_custkey",
+        F.to_json(F.struct(F.struct(
+            names.alias("names"), births.alias("births"),
+            locations.alias("locations"),
+        ).alias("data"))).alias("raw_entity"),
+    )
+    out = sanction_features(raw)
+    return out.select(
+        "c_custkey",
+        F.element_at("primary", 1).alias("primary_name"),
+        F.array_join("alias", "|").alias("aliases_cat"),
+        F.array_join("alias_keyword", "|").alias("kw_cat"),
+        F.array_join("alias_keyword_bigrams", "|").alias("bigrams_cat"),
+        F.coalesce(F.element_at("yob", 1), F.lit(-1)).alias("yob_min"),
+        F.coalesce(F.element_at("yob", -1), F.lit(-1)).alias("yob_max"),
+        F.coalesce(F.array_join("yob_known", "|"), F.lit("")).alias("yob_known_cat"),
+        F.coalesce(F.array_join("dob", "|"), F.lit("")).alias("dob_cat"),
+        F.coalesce(F.array_join("country_code", "|"), F.lit("")).alias("country_cat"),
+    )
+
+
+SQL_SANCTION_FEATURES = r"""
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+         CAST(1900 + c_custkey % 100 AS INTEGER) AS y,
+         CAST(c_custkey % 3 AS INTEGER)          AS s,
+         c_mktsegment || ' ' || c_name           AS aka
+  FROM customer
+), kw AS (
+  SELECT *,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_replace(lower(c_name), '[,/\(\)\.\-;`'']', ' ', 'g'), ' '),
+      t -> length(t) > 2)), '+') AS kw_a,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_replace(lower(aka), '[,/\(\)\.\-;`'']', ' ', 'g'), ' '),
+      t -> length(t) > 2)), '+') AS kw_b
+  FROM base
+)
+SELECT c_custkey,
+  c_name AS primary_name,
+  array_to_string(list_sort([c_name, aka]), '|') AS aliases_cat,
+  array_to_string(list_sort(list_distinct([kw_a, kw_b])), '|') AS kw_cat,
+  kw_b AS bigrams_cat,
+  CASE WHEN c_custkey % 11 = 0 THEN -1 ELSE y END AS yob_min,
+  CASE WHEN c_custkey % 11 = 0 THEN -1
+       WHEN c_custkey % 5 IN (0, 1) THEN y
+       ELSE y + 4 END AS yob_max,
+  CASE WHEN c_custkey % 11 = 0 THEN ''
+       WHEN c_custkey % 5 = 0 THEN CAST(y AS VARCHAR)
+       WHEN c_custkey % 5 = 1 THEN array_to_string(list_sort(list_distinct(
+            [CAST(y AS VARCHAR), CAST(y + s AS VARCHAR)])), '|')
+       ELSE CAST(y AS VARCHAR) || '|' || CAST(y + 4 AS VARCHAR) END AS yob_known_cat,
+  CASE WHEN c_custkey % 11 = 0 THEN ''
+       WHEN c_custkey % 5 = 0 THEN CAST(y AS VARCHAR) || '-06-15'
+       WHEN c_custkey % 5 = 1 AND s = 0 THEN CAST(y AS VARCHAR) || '-01-01'
+       ELSE '' END AS dob_cat,
+  CASE WHEN c_custkey % 17 = 0 THEN ''
+       ELSE printf('C%02d', c_nationkey) END AS country_cat
+FROM kw
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -648,6 +760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
+    "sanction_features": q_sanction_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -669,6 +782,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
+    "sanction_features": SQL_SANCTION_FEATURES,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py)

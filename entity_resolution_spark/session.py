@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Finer AQE granularity than the 64m/256m defaults: the pair join's
+        # output rows are WIDE (two tfidf term/weight arrays ride into the
+        # scoring kernel), so a "small" partition by byte count is a lot of
+        # Arrow-kernel compute. Event-log diagnosis (tools/diag_scaling.py,
+        # 703k-file corpus @ local[16]) showed one 28s straggler task in a
+        # 128-partition scoring stage — AQE never split it because the skewed
+        # partition was < 256m. 32m advisory + factor-2 skew split cut the
+        # stage span 44.6s -> 21.8s and whole-job wall 248s -> 200s.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,120 @@
+"""Nested-JSON raw-entity extraction — goldens translated from the reference
+(``test/features/test_common.py:201-289`` TestBirthExtractor /
+test_known_yob_extraction, plus alias/country semantics from
+``am_combiner/features/common.py:336-530``)."""
+
+from __future__ import annotations
+
+import json
+
+from entity_resolution_spark.operators.sanctions import sanction_features
+
+
+def _extract(spark, raw_entities):
+    df = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(raw_entities)],
+        "id int, raw_entity string",
+    )
+    rows = sanction_features(df).orderBy("id").collect()
+    return [r.asDict() for r in rows]
+
+
+def test_birth_extractor_reference_golden(spark):
+    # reference test/features/test_common.py:203-247 (yob range + dob)
+    ent = {
+        "data": {
+            "births": [
+                {"min_date": "1959-01-01", "max_date": "1959-12-31",
+                 "justification": {"score": 1.0}},
+                {"min_date": "1960-03-31", "max_date": "1960-03-31"},
+                {"min_date": "1958-04-29", "max_date": "1958-04-29"},
+            ]
+        }
+    }
+    (r,) = _extract(spark, [ent])
+    assert r["yob"] == [1958, 1959, 1960]
+    assert r["dob"] == ["1958-04-29", "1960-03-31"]
+
+
+def test_known_yob_reference_golden(spark):
+    # reference test/features/test_common.py:256-288: the all-"01" encoding
+    # contributes BOTH years; the 12-31 / 31-12 encodings only the min year.
+    ents = [
+        {
+            "data": {
+                "births": [
+                    {"min_date": "1967-01-01", "max_date": "1967-31-12"},
+                    {"min_date": "1968-01-01", "max_date": "1968-12-31"},
+                    {"min_date": "1969-01-01", "max_date": "1971-01-01"},
+                ]
+            }
+        },
+        {
+            "data": {
+                "births": [
+                    {"min_date": "1979-01-01", "max_date": "1989-01-01"},
+                    {"min_date": "1969-01-01", "max_date": "1971-01-01"},
+                ]
+            }
+        },
+    ]
+    r0, r1 = _extract(spark, ents)
+    assert r0["yob_known"] == ["1967", "1968", "1969", "1971"]
+    assert r1["yob_known"] == ["1969", "1971", "1979", "1989"]
+
+
+def test_alias_keyword_phonetic_bigrams(spark):
+    ent = {
+        "data": {
+            "names": [
+                {"name": "Robert J. Smith-Jones", "name_type": "primary"},
+                {"name": "Bob Smith", "name_type": "aka"},
+                {"name": "Bob Smith", "name_type": "aka"},  # dup collapses
+            ]
+        }
+    }
+    (r,) = _extract(spark, [ent])
+    assert r["alias"] == ["Bob Smith", "Robert J. Smith-Jones"]
+    assert r["primary"] == ["Robert J. Smith-Jones"]
+    # keyword tokens: lower, punctuation->space, len>2, sorted
+    # "Robert J. Smith-Jones" -> [jones, robert, smith]; "Bob Smith" -> [bob, smith]
+    assert r["alias_keyword"] == ["bob+smith", "jones+robert+smith"]
+    # soundex: bob=B100 smith=S530 jones=J520 robert=R163
+    assert r["alias_phonetic"] == ["B100+S530", "J520+R163+S530"]
+    assert r["alias_keyword_bigrams"] == [
+        "bob+smith", "jones+robert", "jones+smith", "robert+smith",
+    ]
+
+
+def test_keyword_fallback_short_name(spark):
+    # every token <= 2 chars -> fallback to the whole lowered name
+    ent = {"data": {"names": [{"name": "Al B", "name_type": "primary"}]}}
+    (r,) = _extract(spark, [ent])
+    assert r["alias_keyword"] == ["al b"]
+
+
+def test_country_codes_and_international_veto(spark):
+    ents = [
+        {"data": {"locations": [
+            {"country_code": "RU", "original_name": "Moscow"},
+            {"country_code": "AF", "original_name": "Kabul"},
+            {"country_code": None, "original_name": "nowhere"},
+            {"country_code": "RU", "original_name": "Moscow"},
+        ]}},
+        {"data": {"locations": [
+            {"country_code": "US", "original_name": "International"},
+            {"country_code": "GB", "original_name": "London"},
+        ]}},
+        {"data": {}},  # missing locations -> feature absent
+    ]
+    r0, r1, r2 = _extract(spark, ents)
+    assert r0["country_code"] == ["AF", "RU"]
+    assert r1["country_code"] is None  # one 'International' vetoes the entity
+    assert r2["country_code"] is None
+
+
+def test_missing_sections_are_null_and_extra_json_tolerated(spark):
+    ent = {"data": {"names": None}, "unmodelled": {"blob": [1, 2, 3]}}
+    (r,) = _extract(spark, [ent])
+    for c in ("alias", "primary", "yob", "yob_known", "dob", "country_code"):
+        assert r[c] is None

@@ -30,7 +30,9 @@ cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
 parquet_dir = sys.argv[3]
 
-spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 2, 8))
+# 8 tasks per core: with 2/core the scoring stage's largest task WAS the stage
+# span (62.7s straggler at local[16]); finer granules pack the tail
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 8, 8))
 repo_files = spark.read.parquet(parquet_dir)
 n_files = repo_files.count()
 
@@ -54,6 +56,11 @@ def main() -> int:
     ap.add_argument("--entities", type=int, default=4000)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument(
+        "--load-gate", type=float, default=2.0,
+        help="wait for 1-min host loadavg below this before launching each "
+        "sample (shared host: neighbor load otherwise contaminates walls)",
+    )
     ap.add_argument(
         "--repeats", type=int, default=3,
         help="alternating repeats per config; min wall is reported (the sandbox "
@@ -106,10 +113,25 @@ def main() -> int:
 
     ceiling = hw_ceiling(core_list[0], core_list[-1])
     print(json.dumps({"hw_ceiling": ceiling}), flush=True)
+    def wait_for_quiet_host(max_wait_s: float = 1800.0) -> float:
+        """Block until external tenant load subsides (1-min loadavg below
+        --load-gate), so a sample measures the JOB, not the neighbors. min-of-N
+        alone proved insufficient: BENCH_r02-era 16-core samples under load 4-14
+        ran 2x slower than the same job on a quiet host."""
+        import time as _t
+
+        t0 = _t.time()
+        while _t.time() - t0 < max_wait_s:
+            load = os.getloadavg()[0]
+            if load < args.load_gate:
+                return load
+            _t.sleep(20)
+        return os.getloadavg()[0]
+
     runs: dict[int, list[dict]] = {c: [] for c in core_list}
     for rep in range(args.repeats):
         for cores in core_list:
-            load = os.getloadavg()[0]
+            load = wait_for_quiet_host()
             env = dict(os.environ)
             env["SPARK_DRIVER_MEMORY"] = "48g"
             p = subprocess.run(
@@ -152,9 +174,10 @@ def main() -> int:
             f"parquet corpus ({lo['files']} files, {args.entities} entities, seed 42),\n"
             "run in fresh single-JVM subprocesses at two parallelism levels — the\n"
             "sandbox evidence for N vs 4N executors.\n\n"
-            f"Each config ran {args.repeats}× alternating; best (min-wall) sample shown —\n"
-            "the sandbox host is SHARED and external tenant load (recorded below)\n"
-            "perturbs wall time, so min-of-N approximates the uncontended job.\n\n"
+            f"Each config ran {args.repeats}× alternating; best (min-wall) sample shown.\n"
+            "The sandbox host is SHARED: each sample is load-gated (launched only\n"
+            f"when 1-min host loadavg < {args.load_gate}; the pre-launch load is recorded\n"
+            "below) and min-of-N suppresses residual neighbor noise.\n\n"
             f"Hardware ceiling measured at bench time (raw CPU processes, {core_list[0]}→{core_list[-1]}):\n"
             f"max attainable scaling efficiency on this host = **{ceiling['ceiling_efficiency']}**\n"
             f"(raw aggregate iterations: {ceiling['raw']}). Job efficiency should be read\n"
