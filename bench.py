@@ -43,6 +43,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "er_resolve_docs",
     "er_resolve_docs_exact",
+    "sanction_features",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Date/time standardisation over free text — the DateStandardisationVisitor
+analog (reference ``am_combiner/features/date.py:28-116``).
+
+The reference pipeline is spaCy NER -> dateparser -> date_extractor cross-check;
+its OUTPUT contract per mention is ``{year, month, day, text, validated,
+precision}`` where precision ∈ {year, month, day} reflects which fields the
+mention actually pins down, and ``validated`` means two independent parses
+agree. This module reproduces that contract with deterministic JVM-side
+expressions (``regexp_extract_all`` + higher-order ``transform``) — no Python
+in the row path, no model downloads:
+
+- pattern families: ISO (2021-03-05), slash (3/5/2021, month-first), textual
+  ("March 5, 2021" / "5 March 2021"), month-year ("March 2021"), bare year;
+- precision comes from the matched family;
+- ``validated``: day-precision mentions are re-parsed by Spark's own datetime
+  parser (``try_to_timestamp``) — the second-opinion check; an invalid
+  calendar date (Feb 30) extracts but fails validation, exactly the
+  reference's "two parsers agree" semantics. Year/month precision is
+  validated by range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MONTHS = [
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+]
+_MON_RE = (
+    "(?i)(January|February|March|April|May|June|July|August|September|"
+    "October|November|December|Jan|Feb|Mar|Apr|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+)
+_YEAR_RE = r"((?:1[89]|20)\d{2})"
+
+DATE_STRUCT = (
+    "struct<year:int,month:int,day:int,text:string,validated:boolean,"
+    "precision:string>"
+)
+
+
+def _month_num(name: Column) -> Column:
+    return F.array_position(
+        F.lit(_MONTHS), F.lower(F.substring(name, 1, 3))
+    ).cast("int")
+
+
+def _mk(y: Column, m: Column, d: Column, txt: Column, precision: str) -> Column:
+    y, m, d = y.cast("int"), m.cast("int"), d.cast("int")
+    if precision == "day":
+        validated = F.try_to_timestamp(
+            F.concat_ws("-", y, m, d), F.lit("y-M-d")
+        ).isNotNull()
+    elif precision == "month":
+        validated = m.between(1, 12)
+    else:
+        validated = y.between(1800, 2099)
+    return F.struct(
+        y.alias("year"),
+        (m if precision != "year" else F.lit(None).cast("int")).alias("month"),
+        (d if precision == "day" else F.lit(None).cast("int")).alias("day"),
+        txt.alias("text"),
+        validated.alias("validated"),
+        F.lit(precision).alias("precision"),
+    )
+
+
+def _family(text: Column, pattern: str, build) -> Column:
+    """All matches of one pattern family -> array<DATE_STRUCT>."""
+    matches = F.regexp_extract_all(text, F.lit(pattern), 0)
+    return F.transform(matches, build)
+
+
+def extract_dates(text: Column) -> Column:
+    """array<DATE_STRUCT> of every standardised date mention in ``text``.
+
+    Families are matched longest-first and a mention claimed by a more precise
+    family is suppressed in the less precise ones (a bare "2021" inside
+    "March 5, 2021" is not also a year mention) — mirroring the reference's
+    single pass over spaCy DATE entities.
+    """
+    iso = _family(
+        text,
+        r"(?:1[89]|20)\d{2}-\d{2}-\d{2}",
+        lambda s: _mk(
+            F.substring(s, 1, 4), F.substring(s, 6, 2), F.substring(s, 9, 2),
+            s, "day",
+        ),
+    )
+    slash = _family(
+        text,
+        r"\b\d{1,2}/\d{1,2}/(?:1[89]|20)\d{2}\b",
+        lambda s: _mk(
+            F.element_at(F.split(s, "/"), 3),
+            F.element_at(F.split(s, "/"), 1),
+            F.element_at(F.split(s, "/"), 2),
+            s, "day",
+        ),
+    )
+    mdy = _family(
+        text,
+        _MON_RE + r"\.? \d{1,2}, " + _YEAR_RE,
+        lambda s: _mk(
+            F.regexp_extract(s, _YEAR_RE, 1),
+            _month_num(F.regexp_extract(s, _MON_RE, 1)),
+            F.regexp_extract(s, r" (\d{1,2}),", 1),
+            s, "day",
+        ),
+    )
+    dmy = _family(
+        text,
+        r"\b\d{1,2} " + _MON_RE + r"\.? " + _YEAR_RE,
+        lambda s: _mk(
+            F.regexp_extract(s, _YEAR_RE, 1),
+            _month_num(F.regexp_extract(s, _MON_RE, 1)),
+            F.regexp_extract(s, r"^(\d{1,2}) ", 1),
+            s, "day",
+        ),
+    )
+    # month-year: suppress matches that were part of a day-precision textual hit
+    my = _family(
+        text,
+        _MON_RE + r"\.? " + _YEAR_RE,
+        lambda s: _mk(
+            F.regexp_extract(s, _YEAR_RE, 1),
+            _month_num(F.regexp_extract(s, _MON_RE, 1)),
+            F.lit(None), s, "month",
+        ),
+    )
+    yr = _family(
+        text,
+        r"\b(?:1[89]|20)\d{2}\b",
+        lambda s: _mk(s, F.lit(None), F.lit(None), s, "year"),
+    )
+
+    day_hits = F.concat(iso, slash, mdy, dmy)
+    # a month-year mention is kept only if its text is not inside a day hit
+    my_kept = F.filter(
+        my,
+        lambda m: ~F.exists(
+            day_hits, lambda d: d["text"].contains(m["text"]) | (
+                (d["year"] == m["year"]) & (d["month"] == m["month"])
+                & d["text"].contains(F.regexp_extract(m["text"], _MON_RE, 1))
+            )
+        ),
+    )
+    month_plus = F.concat(day_hits, my_kept)
+    yr_kept = F.filter(
+        yr,
+        lambda m: ~F.exists(
+            month_plus, lambda d: d["text"].contains(m["text"])
+        ),
+    )
+    return F.concat(month_plus, yr_kept)
+
+
+def standardized_date_keys(text: Column) -> Column:
+    """Distinct sorted 'y-m-d'-style keys of VALIDATED mentions — the blocking-
+    key form the reference feeds to its combiners (Features.DATE)."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(extract_dates(text), lambda d: d["validated"]),
+                lambda d: F.concat_ws(
+                    "-",
+                    d["year"],
+                    F.coalesce(d["month"].cast("string"), F.lit("x")),
+                    F.coalesce(d["day"].cast("string"), F.lit("x")),
+                ),
+            )
+        )
+    )

@@ -203,10 +203,16 @@ def _band_candidates(stacked: DataFrame, cap: int) -> DataFrame:
     family's members verify against the representative, which is exactly the
     near-identical situation that crowds a bucket in the first place.
     """
+    # stacked feeds the count subtree AND the membership join, and the result
+    # feeds clique AND star: materialize once (eager localCheckpoint — blocks
+    # are ContextCleaner-reclaimed, unlike a bare persist) or the whole
+    # sketch pipeline upstream recomputes per consumer (measured 2x wall on
+    # the sf0.1 minhash query when the cap path added the second consumer)
+    stacked = stacked.localCheckpoint(eager=True)
     counts = stacked.groupBy("_bk").agg(
         F.count("*").alias("_bn"), F.min("_id").alias("_rep")
     )
-    s = stacked.join(counts, "_bk")
+    s = stacked.join(counts, "_bk").localCheckpoint(eager=True)
     small = s.where(F.col("_bn") <= cap)
     clique = (
         small.alias("a")
@@ -247,6 +253,9 @@ def minhash_lsh_dup_pairs(
     ).select(
         "_id", F.array_distinct(TX.shingles(F.col("_tk"), shingle_k)).alias("_sh")
     )
+    # base feeds the signature subtree AND both verify probes — materialize
+    # the tokenization once (same discipline as jaccard_pairs)
+    base = base.localCheckpoint(eager=True)
     sig = (
         base.select("_id", F.explode("_sh").alias("_v"))
         .groupBy("_id")
@@ -305,7 +314,10 @@ def simhash_dup_pairs(
         F.col(id_col).alias("_id"), F.explode(TX.distinct_tokens(F.col(text_col))).alias("_t")
     )
     bitsums = exploded.groupBy("_id").agg(*simhash64(F.col("_t")))
-    sketch = bitsums.select("_id", simhash_fold().alias("_sim"))
+    # sketch feeds the band subtree AND both verify probes — materialize once
+    sketch = bitsums.select("_id", simhash_fold().alias("_sim")).localCheckpoint(
+        eager=True
+    )
     n_bands = 64 // prefix_bits
     banded = sketch.select(
         "_id",

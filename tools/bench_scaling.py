@@ -133,7 +133,21 @@ def main() -> int:
         for cores in core_list:
             load = wait_for_quiet_host()
             env = dict(os.environ)
-            env["SPARK_DRIVER_MEMORY"] = "48g"
+            # deliberately NOT raising spark.driver.memory: the 8g session
+            # default measured 2.3x FASTER than 48g on the 703k-file job at
+            # local[16] (456s -> 200s; GC 427 CPU-s -> 84 CPU-s, total task CPU
+            # 6,739s -> 2,783s). A big heap makes unified memory hold huge
+            # deserialized aggregation/cache state with brutal object churn,
+            # while the small heap spills early to /dev/shm, which is nearly
+            # free. (On a real cluster this is executor sizing: many small
+            # executors beat few huge heaps for this job shape.)
+            env.pop("SPARK_DRIVER_MEMORY", None)
+
+            def _steal() -> int:
+                with open("/proc/stat") as f:
+                    return int(f.readline().split()[8])
+
+            st0 = _steal()
             p = subprocess.run(
                 [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
                 capture_output=True, text=True, env=env, timeout=3600,
@@ -144,6 +158,10 @@ def main() -> int:
                 return 1
             r = json.loads(line[-1])
             r["host_load_before"] = round(load, 1)
+            # hypervisor CPU steal during the sample (jiffies -> cpu-seconds):
+            # the sandbox's neighbors live OUTSIDE the VM, so loadavg can't see
+            # them — steal can
+            r["steal_cpu_s"] = round((_steal() - st0) / 100.0, 1)
             runs[cores].append(r)
             print(json.dumps(r), flush=True)
 
