@@ -21,6 +21,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 
+def typed_feature_tokens(
+    scalar_cols: dict[str, Column | str] | None = None,
+    array_cols: dict[str, Column | str] | None = None,
+) -> Column:
+    """Flatten extracted feature families into typed ``FAMILY-value`` tokens —
+    the features-text document of ``get_features_from_article`` (reference
+    ``combiners/tfidf.py:98-116``: ``feature_name.name + "-" + str(v)`` per
+    value; the reference then ``"_-_"``-joins into one string because sklearn
+    wants text — here the token ARRAY is the document and feeds
+    :func:`tfidf_vectors` directly, which is what
+    ``FullArticleFeaturesTextVectoriser`` computes).
+
+    ``scalar_cols``: family name -> scalar column (one token per record);
+    ``array_cols``:  family name -> array column (one token per value).
+    Null scalars / null arrays contribute nothing.
+    """
+    parts = []
+    for name, c in (scalar_cols or {}).items():
+        c = F.col(c) if isinstance(c, str) else c
+        tok = F.concat_ws("-", F.lit(name), c.cast("string"))
+        parts.append(
+            F.when(c.isNotNull(), F.array(tok)).otherwise(F.array().cast("array<string>"))
+        )
+    for name, c in (array_cols or {}).items():
+        c = F.col(c) if isinstance(c, str) else c
+        toks = F.transform(
+            F.filter(F.coalesce(c, F.array()), lambda v: v.isNotNull()),
+            lambda v: F.concat_ws("-", F.lit(name), v.cast("string")),
+        )
+        parts.append(toks)
+    if not parts:
+        return F.array().cast("array<string>")
+    return F.concat(*parts)
+
+
 def tfidf_vectors(
     docs: DataFrame,
     id_col: str = "unique_id",

@@ -123,3 +123,47 @@ def test_feature_boost_reference_golden(spark):
     }
     assert got[("a1", "a2")] == 0.5   # pure boost: 1 shared / max_energy 2
     assert got[("a1", "a3")] == 0.2   # untouched
+
+
+def test_typed_feature_tokens_features_text_vectorisation(spark):
+    # FullArticleFeaturesTextExtractor contract (reference combiners/tfidf.py:
+    # 98-116): one "FAMILY-value" token per extracted value; the token array is
+    # the features-text document and TF-IDFs like any other term column.
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.vectors import (
+        cosine_sorted_udf,
+        tfidf_vectors,
+        typed_feature_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "python", ["tok", "util"], None),
+            ("r2", "python", ["tok"], "gpl"),
+            ("r3", "go", None, "mit"),
+        ],
+        "unique_id string, lang string, kw array<string>, lic string",
+    )
+    toks = df.select(
+        "unique_id",
+        typed_feature_tokens(
+            scalar_cols={"LANG": "lang", "LIC": "lic"},
+            array_cols={"KW": "kw"},
+        ).alias("ftoks"),
+    )
+    got = {r["unique_id"]: sorted(r["ftoks"]) for r in toks.collect()}
+    assert got["r1"] == ["KW-tok", "KW-util", "LANG-python"]  # null scalar dropped
+    assert got["r2"] == ["KW-tok", "LANG-python", "LIC-gpl"]
+    assert got["r3"] == ["LANG-go", "LIC-mit"]  # null array drops silently
+
+    vecs = tfidf_vectors(toks, "unique_id", "ftoks")
+    a = vecs.select(F.col("unique_id").alias("ia"), F.col("terms").alias("ta"), F.col("weights").alias("wa"))
+    b = vecs.select(F.col("unique_id").alias("ib"), F.col("terms").alias("tb"), F.col("weights").alias("wb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "ia", "ib", cosine_sorted_udf("ta", "wa", "tb", "wb").alias("cos")
+    )
+    got = {(r["ia"], r["ib"]): r["cos"] for r in pairs.collect()}
+    assert got[("r1", "r2")] > 0.3      # shares LANG-python and KW-tok
+    assert got[("r1", "r3")] == 0.0     # nothing shared
+    assert got[("r2", "r3")] == 0.0     # disjoint values in every family

@@ -111,8 +111,6 @@ def main() -> int:
         ceiling = (out[hi_n] / out[lo_n]) / (hi_n / lo_n)
         return {"raw": out, "ceiling_efficiency": round(ceiling, 3)}
 
-    ceiling = hw_ceiling(core_list[0], core_list[-1])
-    print(json.dumps({"hw_ceiling": ceiling}), flush=True)
     def wait_for_quiet_host(max_wait_s: float = 1800.0) -> float:
         """Block until external tenant load subsides (1-min loadavg below
         --load-gate), so a sample measures the JOB, not the neighbors. min-of-N
@@ -127,6 +125,10 @@ def main() -> int:
                 return load
             _t.sleep(20)
         return os.getloadavg()[0]
+
+    wait_for_quiet_host()
+    ceiling = hw_ceiling(core_list[0], core_list[-1])
+    print(json.dumps({"hw_ceiling": ceiling}), flush=True)
 
     runs: dict[int, list[dict]] = {c: [] for c in core_list}
     for rep in range(args.repeats):
