@@ -64,6 +64,8 @@ def tfidf_vectors(
     max_df_frac: float = 1.0,
     top_k: int | None = None,
     persisted: list | None = None,
+    terms_distinct: bool = False,
+    broadcast_vocab_rows: int = 4_000_000,
 ) -> DataFrame:
     """(id, array terms) → (id, terms array<int>, weights array<float>).
 
@@ -73,29 +75,63 @@ def tfidf_vectors(
     ``min_df``/``max_df_frac`` prune ubiquitous/rare terms (the reference's
     ``min_df=5, max_df=0.95``) — this is also the posting-list-cap defense against
     skewed shingles (license headers).
+
+    ``terms_distinct=True`` declares that each row's term array is already
+    duplicate-free (the Arrow tokenizer emits ``np.unique``'d shingles —
+    ``fast_text.py:82``), so tf ≡ 1 and the ``groupBy(_id,_t)`` shuffle is
+    skipped. This matters beyond the saved shuffle: it keeps the exploded rows
+    doc-clustered, and when the post-``min_df`` vocabulary is small enough to
+    broadcast (≤ ``broadcast_vocab_rows``), the idf join preserves that
+    clustering, so the final ``collect_list`` partial-aggregate emits ~n_docs
+    rows at ANY shuffle-partition count. The old shape (sort-merge join by term
+    → groupBy id) scattered every doc across term partitions and emitted
+    docs×partitions partial rows — measured 20.5M@32parts → 54.4M@128parts on a
+    703k-file corpus, the dominant anti-scaling term in the 4→16-core bench.
+    On a code corpus ~99% of shingles are hapax, so with ``min_df=2`` the
+    surviving vocabulary is ~1% of terms (≈25 MB broadcast at 703k files); if
+    it exceeds the cap the join falls back to the shuffle path unchanged.
     """
     # contract: id_col is unique per row (the pipeline's unique_id), so a plain
     # count avoids a full distinct shuffle before the plan even builds
     n_docs = docs.count()
-    tf = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(F.col(term_col)).alias("_t"))
-        .groupBy("_id", "_t")
-        .agg(F.count("*").alias("_tf"))
-        # tf feeds BOTH the df aggregation and the weighting join; persist so the
-        # explode+groupBy (the expensive half of TF-IDF) runs once, not twice
-        .persist()
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(term_col)).alias("_t")
     )
-    if persisted is not None:
-        persisted.append(tf)  # caller releases once downstream is materialized
+    if terms_distinct:
+        # no persist either: explode is a narrow op over the (caller-cached)
+        # docs frame — re-deriving it for the df pass is cheaper than caching
+        # the full exploded row set (big caches cost GC; see BENCH notes)
+        tf = exploded.withColumn("_tf", F.lit(1).cast("bigint"))
+    else:
+        tf = (
+            exploded.groupBy("_id", "_t")
+            .agg(F.count("*").alias("_tf"))
+            # tf feeds BOTH the df aggregation and the weighting join; persist
+            # so the explode+groupBy (the expensive half) runs once, not twice
+            .persist()
+        )
+        if persisted is not None:
+            persisted.append(tf)  # caller releases once downstream is materialized
     df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    vocab_filtered = False
     if max_df_frac < 1.0:
         df_ = df_.where(F.col("_df") <= int(max_df_frac * n_docs))
+        vocab_filtered = True
     if min_df > 1:
         df_ = df_.where(F.col("_df") >= min_df)
+        vocab_filtered = True
     idf = df_.select(
         "_t",
         (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0).alias("_idf"),
     )
+    if vocab_filtered:
+        # size-gate the broadcast with a real count (the df agg runs anyway for
+        # the join; persisting the small surviving vocab makes the count ~free)
+        idf = idf.persist()
+        if persisted is not None:
+            persisted.append(idf)
+        if idf.count() <= broadcast_vocab_rows:
+            idf = F.broadcast(idf)
     # term ids re-hashed to int32: the pair join ships terms/weights through
     # the shuffle AND the Arrow boundary twice per pair — 4-byte terms halve
     # the dominant payload. Within-pair false-match P ≈ k²/2^32 ≈ 4e-6 at

@@ -161,6 +161,10 @@ def resolve(
         lambda: tfidf_vectors(
             fi, "unique_id", "shingles", cfg.min_df, cfg.max_df_frac,
             top_k=cfg.tfidf_top_k, persisted=persisted,
+            # extract_features' Arrow tokenizer np.unique's each shingle array
+            # (fast_text.py:82) → tf≡1: skip the tf shuffle and keep rows
+            # doc-clustered so the vector assembly agg scales with cores
+            terms_distinct=True,
         ),
     )
     assignments = stage(
