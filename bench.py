@@ -44,6 +44,15 @@ HEADLINE = [
     "er_resolve_docs",
     "er_resolve_docs_exact",
     "sanction_features",
+    "fastrp_cosine_docs",
+    "selected_text_docs",
+    "kmeans_embeddings",
+    "spectral_docs",
+    "incremental_embeddings",
+    "colour_split_docs",
+    "top_terms_docs",
+    "gcn_resolve_docs",
+    "acceptance_distribution_docs",
 ]
 
 

@@ -79,17 +79,25 @@ def tfidf_vectors(
     ``terms_distinct=True`` declares that each row's term array is already
     duplicate-free (the Arrow tokenizer emits ``np.unique``'d shingles —
     ``fast_text.py:82``), so tf ≡ 1 and the ``groupBy(_id,_t)`` shuffle is
-    skipped. This matters beyond the saved shuffle: it keeps the exploded rows
-    doc-clustered, and when the post-``min_df`` vocabulary is small enough to
-    broadcast (≤ ``broadcast_vocab_rows``), the idf join preserves that
-    clustering, so the final ``collect_list`` partial-aggregate emits ~n_docs
-    rows at ANY shuffle-partition count. The old shape (sort-merge join by term
-    → groupBy id) scattered every doc across term partitions and emitted
-    docs×partitions partial rows — measured 20.5M@32parts → 54.4M@128parts on a
-    703k-file corpus, the dominant anti-scaling term in the 4→16-core bench.
-    On a code corpus ~99% of shingles are hapax, so with ``min_df=2`` the
-    surviving vocabulary is ~1% of terms (≈25 MB broadcast at 703k files); if
-    it exceeds the cap the join falls back to the shuffle path unchanged.
+    skipped.
+
+    Physical strategy (both produce identical output — same weights, same
+    xxhash64-derived int32 term ids, same tie rules):
+
+    - **vocab fits** (post-``min_df`` filter survives ≤ ``broadcast_vocab_rows``
+      terms — on a code corpus ~99% of shingles are hapax, so ``min_df=2``
+      keeps ~1%): the df aggregation still runs as one JVM shuffle, but the
+      per-doc assembly is ONE Arrow kernel over the docs frame with the
+      (term → idf) vocabulary broadcast as two numpy arrays — no explode, no
+      join, no ``collect_list``. The previous JVM shape spent 540 executor-CPU-s
+      (38% of the job) in ObjectHashAggregate partial/final building 137.9M
+      per-row struct objects on the 703k-file corpus, and its GC (10s@4cores →
+      165s@16cores) was the dominant anti-scaling term — object-heavy JVM
+      aggregation contends in a shared heap, while Arrow workers are separate
+      processes that scale with cores.
+    - **vocab too large** (100 TB-scale vocabularies): shuffle path — explode →
+      idf equi-join → top-k truncation via sorted-struct HOFs, everything
+      JVM-side and shuffle-bounded.
     """
     # contract: id_col is unique per row (the pipeline's unique_id), so a plain
     # count avoids a full distinct shuffle before the plan even builds
@@ -125,13 +133,19 @@ def tfidf_vectors(
         (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0).alias("_idf"),
     )
     if vocab_filtered:
-        # size-gate the broadcast with a real count (the df agg runs anyway for
-        # the join; persisting the small surviving vocab makes the count ~free)
+        # size-gate with a real count; the surviving vocab is tiny relative to
+        # the term stream, so persist + count is ~free
         idf = idf.persist()
         if persisted is not None:
             persisted.append(idf)
         if idf.count() <= broadcast_vocab_rows:
-            idf = F.broadcast(idf)
+            out = _assemble_vectors_arrow(
+                docs, id_col, term_col, idf, top_k, terms_distinct
+            )
+            idf.unpersist()
+            if persisted is not None:
+                persisted.remove(idf)
+            return out
     # term ids re-hashed to int32: the pair join ships terms/weights through
     # the shuffle AND the Arrow boundary twice per pair — 4-byte terms halve
     # the dominant payload. Within-pair false-match P ≈ k²/2^32 ≈ 4e-6 at
@@ -183,6 +197,157 @@ def tfidf_vectors(
         F.col("_tw._th").alias("terms"),
         F.transform("_tw", lambda s: (s["_w"] / F.col("_norm")).cast("float")).alias("weights"),
     )
+
+
+# xxhash64 of one little-endian long, seed 42 — bit-exact replica of Spark's
+# F.xxhash64 on a LongType column (verified element-wise vs the JVM), so the
+# Arrow assembly path emits the SAME int32 term ids as the shuffle path.
+_XXP1 = np.uint64(11400714785074694791)
+_XXP2 = np.uint64(14029467366897019727)
+_XXP3 = np.uint64(1609587929392839161)
+_XXP4 = np.uint64(9650029242287828579)
+_XXP5 = np.uint64(2870177450012600261)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxhash64_long(v: np.ndarray, seed: int = 42) -> np.ndarray:
+    x = v.astype(np.int64).view(np.uint64)
+    h = np.uint64(seed) + _XXP5 + np.uint64(8)
+    k = _rotl64(x * _XXP2, 31) * _XXP1
+    h = _rotl64(h ^ k, 27) * _XXP1 + _XXP4
+    h ^= h >> np.uint64(33)
+    h *= _XXP2
+    h ^= h >> np.uint64(29)
+    h *= _XXP3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _assemble_vectors_arrow(
+    docs: DataFrame,
+    id_col: str,
+    term_col: str,
+    idf: DataFrame,
+    top_k: int | None,
+    terms_distinct: bool,
+) -> DataFrame:
+    """Per-doc TF-IDF assembly as one Arrow kernel pass over the docs frame.
+
+    The (term → idf) vocabulary ships as two numpy arrays (sorted terms +
+    aligned idf) in a Python broadcast; per batch everything is vectorized:
+    flatten → searchsorted lookup → one 3-key lexsort for the (weight desc,
+    term-hash desc) per-row top-k → segmented norms via reduceat → one more
+    lexsort to the (term-hash asc) output order → consecutive-dup drop. Exactly
+    the shuffle path's semantics: ties, the 31-bit xxhash64 re-hash, norms
+    computed over the top-k INCLUDING any hash-collided duplicate, dedup keeps
+    the max-weight element, docs with zero surviving terms emit no row.
+    """
+    import pyspark.sql.types as T
+
+    spark = docs.sparkSession
+    vocab_pd = idf.toArrow().to_pandas()
+    vt = vocab_pd["_t"].to_numpy(dtype=np.int64)
+    vi = vocab_pd["_idf"].to_numpy(dtype=np.float64)
+    order = np.argsort(vt, kind="mergesort")
+    bc = spark.sparkContext.broadcast((vt[order], vi[order]))
+    k_cap = top_k
+
+    id_field = docs.select(id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("terms", T.ArrayType(T.IntegerType())),
+            T.StructField("weights", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def kernel(batches):
+        np.seterr(over="ignore")  # uint64 hash arithmetic wraps by design
+        vterms, vidf = bc.value
+        if len(vterms) == 0:
+            return  # nothing survives min_df/max_df → no vectors at all
+        for pdf in batches:
+            vals = pdf[term_col].to_numpy()
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in vals),
+                dtype=np.int64, count=len(vals),
+            )
+            if lens.sum() == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in vals if v is not None and len(v)]
+            )
+            rows = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+            if not terms_distinct:
+                # per (row, term) tf via sort + run-length (the shuffle path's
+                # groupBy(_id, _t) count)
+                o = np.lexsort((flat, rows))
+                rows, flat = rows[o], flat[o]
+                new = np.empty(len(flat), dtype=bool)
+                new[0] = True
+                np.not_equal(flat[1:], flat[:-1], out=new[1:])
+                new[1:] |= rows[1:] != rows[:-1]
+                starts = np.nonzero(new)[0]
+                tf = np.diff(np.append(starts, len(flat))).astype(np.float64)
+                rows, flat = rows[starts], flat[starts]
+            else:
+                tf = None
+            pos = np.searchsorted(vterms, flat)
+            pos[pos >= len(vterms)] = 0
+            found = vterms[pos] == flat
+            rows, flat, pos = rows[found], flat[found], pos[found]
+            w = vidf[pos] if tf is None else vidf[pos] * tf[found]
+            th = (_xxhash64_long(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+
+            # top-k: row asc, weight desc, hash desc (ties on weight keep the
+            # larger hash — reverse(array_sort(struct(_w,_th))) parity)
+            o = np.lexsort((-th, -w, rows))
+            rows, w, th = rows[o], w[o], th[o]
+            seg_starts = np.nonzero(
+                np.concatenate(([True], rows[1:] != rows[:-1]))
+            )[0]
+            seg_of = np.cumsum(np.concatenate(([True], rows[1:] != rows[:-1]))) - 1
+            rank = np.arange(len(rows)) - seg_starts[seg_of]
+            if k_cap is not None:
+                keep = rank < k_cap
+                rows, w, th = rows[keep], w[keep], th[keep]
+                seg_starts = np.nonzero(
+                    np.concatenate(([True], rows[1:] != rows[:-1]))
+                )[0]
+            if len(rows) == 0:
+                continue
+            norm = np.sqrt(np.add.reduceat(w * w, seg_starts))
+
+            # output order: hash asc, weight asc; drop all-but-last of equal-
+            # hash runs (the kept one is max-weight; norm already includes the
+            # dropped weight — shuffle-path parity)
+            o2 = np.lexsort((w, th, rows))
+            rows, w, th = rows[o2], w[o2], th[o2]
+            last_of_run = np.concatenate(
+                ((th[1:] != th[:-1]) | (rows[1:] != rows[:-1]), [True])
+            )
+            rows, w, th = rows[last_of_run], w[last_of_run], th[last_of_run]
+            seg_starts = np.nonzero(
+                np.concatenate(([True], rows[1:] != rows[:-1]))
+            )[0]
+            seg_of = np.cumsum(np.concatenate(([True], rows[1:] != rows[:-1]))) - 1
+            wn = (w / norm[seg_of]).astype(np.float32)
+
+            row_ids = np.unique(rows)
+            bounds = seg_starts[1:]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[row_ids],
+                    "terms": [a.astype(np.int32) for a in np.split(th, bounds)],
+                    "weights": list(np.split(wn, bounds)),
+                }
+            )
+
+    return docs.select(id_col, term_col).mapInPandas(kernel, out_schema)
 
 
 def _explode_batch(ts: pd.Series, ws: pd.Series):

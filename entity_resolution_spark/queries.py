@@ -737,6 +737,264 @@ FROM kw
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph-embedding / per-block combiner queries (SURVEY §2.5/§2.7 rows flipped
+# in round 3: FastRP, spectral, k-means, incremental, colour splitter, GCN,
+# term + selected-text visitors, sampled acceptance distribution)
+# ---------------------------------------------------------------------------
+
+def q_fastrp_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP embedding similarity over the token-adjacency graph, ORACLE-EXACT:
+    the projection rows use a portable md5-hex hash (identical in Spark and
+    DuckDB) instead of the numpy RNG, so the entire distributed SpMM
+    (M²R/M³R accumulation, fastRP.py:78-106) is replayed in SQL. Output is the
+    cosine between the FastRP embeddings of every directly-adjacent pair,
+    floored to 1e-4 (integer-exact hash; float sum-order noise is ~1e-11)."""
+    from entity_resolution_spark.operators.fastrp import fastrp_embeddings
+
+    dim = 8
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").cast("string").alias("unique_id"),
+            TX.distinct_tokens("text").alias("toks"),
+        )
+    )
+    from entity_resolution_spark.operators.adjacency import feature_intersection_edges
+
+    e = feature_intersection_edges(d, ["toks"]).where(F.col("weight") >= 25)
+    r_long = (
+        d.select("unique_id")
+        .select(F.col("unique_id").alias("id"), F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"))
+        .select(
+            "id", "pos",
+            (F.conv(F.substring(F.md5(F.concat_ws(":", "id", "pos")), 1, 8), 16, 10)
+             .cast("long") % 6).alias("_h"),
+        )
+        .select(
+            "id", "pos",
+            F.when(F.col("_h") == 4, F.lit(-0.658))
+            .when(F.col("_h") == 5, F.lit(0.658))
+            .otherwise(F.lit(0.0)).alias("val"),
+        )
+        .where(F.col("val") != 0.0)
+    )
+    emb = fastrp_embeddings(e, dim=dim, r_long=r_long)
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda s, v: s + v * v))
+    ne = emb.select("id", "embedding", norm.alias("_n")).where(F.col("_n") > 0)
+    a = ne.select(F.col("id").alias("id_a"), F.col("embedding").alias("_ea"), F.col("_n").alias("_na"))
+    b = ne.select(F.col("id").alias("id_b"), F.col("embedding").alias("_eb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda u, v: u * v), F.lit(0.0), lambda s, v: s + v)
+    return (
+        e.select("id_a", "id_b")
+        .join(a, "id_a").join(b, "id_b")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.floor(dot / (F.col("_na") * F.col("_nb")) * 10000).cast("long").alias("sim_e4"),
+        )
+    )
+
+
+SQL_FASTRP_COSINE_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents WHERE doc_id < 100
+), x AS (SELECT doc_id, unnest(tk) AS v FROM t),
+e0 AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS w
+  FROM x a JOIN x b ON a.v = b.v AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
+  GROUP BY 1, 2 HAVING count(*) >= 25
+),
+sym AS (SELECT ia AS s, ib AS d, w FROM e0 UNION ALL SELECT ib, ia, w FROM e0),
+deg AS (SELECT d, sum(w) AS dw FROM sym GROUP BY d),
+m AS (SELECT sym.s, sym.d, w / dw AS wn FROM sym JOIN deg USING (d)),
+r AS (
+  SELECT t.doc_id AS id, p.pos,
+         CASE (CAST(('0x' || substr(md5(t.doc_id::VARCHAR || ':' || p.pos), 1, 8)) AS BIGINT) % 6)
+           WHEN 4 THEN -0.658 WHEN 5 THEN 0.658 ELSE 0.0 END AS val
+  FROM t, (SELECT unnest(range(8)) AS pos) p
+),
+x1 AS (SELECT m.d AS id, r.pos, sum(wn * val) AS val FROM m JOIN r ON r.id = m.s GROUP BY 1, 2),
+x2 AS (SELECT m.d AS id, x1.pos, sum(wn * val) AS val FROM m JOIN x1 ON x1.id = m.s GROUP BY 1, 2),
+x3 AS (SELECT m.d AS id, x2.pos, sum(wn * val) AS val FROM m JOIN x2 ON x2.id = m.s GROUP BY 1, 2),
+acc AS (
+  SELECT x2.id, x2.pos, 0.5 * x2.val + 0.5 * x3.val AS val
+  FROM x2 JOIN x3 ON x2.id = x3.id AND x2.pos = x3.pos
+),
+nrm AS (SELECT id, sqrt(sum(val * val)) AS n FROM acc GROUP BY id)
+SELECT e0.ia AS id_a, e0.ib AS id_b,
+       CAST(floor(sum(a.val * b.val) / (max(na.n) * max(nb.n)) * 10000) AS BIGINT) AS sim_e4
+FROM e0
+JOIN acc a ON a.id = e0.ia
+JOIN acc b ON b.id = e0.ib AND b.pos = a.pos
+JOIN nrm na ON na.id = e0.ia
+JOIN nrm nb ON nb.id = e0.ib
+WHERE na.n > 0 AND nb.n > 0
+GROUP BY 1, 2
+"""
+
+
+def q_selected_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleSelectedTextVisitor (text_selector.py:6-81): sentence-window
+    context extraction around the entity mention — pure JVM HOF column,
+    integer-exact (string ops only). Sentences = ' join '-separated segments;
+    entity = the literal token 'spark'."""
+    from entity_resolution_spark.functions.terms import selected_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " join ").alias("_sents")
+    )
+    return d.select(
+        "doc_id",
+        selected_text(F.col("_sents"), F.lit("spark"), pre=1, post=1).alias("selected"),
+    )
+
+
+SQL_SELECTED_TEXT_DOCS = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' join ') AS sents FROM documents
+), w AS (
+  SELECT doc_id, sents,
+         flatten(list_transform(
+           list_filter(list_transform(sents, (x, i) -> CASE WHEN contains(x, 'spark') THEN i ELSE -1 END),
+                       i -> i >= 0),
+           i -> list_slice(sents, greatest(1, i - 1), least(len(sents), i + 1))
+         )) AS win
+  FROM s
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_filter(win, (x, i) -> list_position(win, x) = i), ' '),
+                '') AS selected
+FROM w
+"""
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFIDFKMeansCombiner analog (tfidf.py:20-78): per-label silhouette-swept
+    k-means over the embedding vectors. Iterative — rows-only check; the
+    arithmetic is golden-tested in tests/test_kmeans_spectral.py."""
+    from entity_resolution_spark.operators.kmeans import kmeans_cluster_blocks
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("unique_id"),
+        F.col("label").cast("string").alias("blocking_key"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    return kmeans_cluster_blocks(e, "vec", max_k=6).orderBy("unique_id")
+
+
+def q_spectral_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral (Laplacian eigenmap) combiner (utils/spectral.py) per
+    (lang, source) block over token features. Eigendecomposition — rows-only;
+    golden-tested in tests/test_kmeans_spectral.py."""
+    from entity_resolution_spark.operators.spectral import spectral_cluster_blocks
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("unique_id"),
+        F.concat_ws("|", "lang", "source").alias("blocking_key"),
+        TX.distinct_tokens("text").alias("toks"),
+    )
+    return spectral_cluster_blocks(d, ["toks"], th=0.9).orderBy("unique_id")
+
+
+def q_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid incremental combiner (incremental_clustering.py:163-210) per
+    label block, scan order fixed to vec_id — rows-only; reference-walk goldens
+    in tests/test_terms_incremental.py."""
+    from entity_resolution_spark.operators.incremental_combiner import (
+        incremental_cluster_blocks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("unique_id"),
+        F.col("label").cast("string").alias("blocking_key"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    return incremental_cluster_blocks(
+        e, "vec", threshold=0.6, strategy="centroid"
+    ).orderBy("unique_id")
+
+
+def q_colour_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColourNegativeEdgesSplitter (splitters/common.py:130-178): positive
+    jaccard-pair components recoloured under n_chars-distance negative edges.
+    Greedy colouring — rows-only; reference goldens in tests/test_coloring.py."""
+    from entity_resolution_spark.operators.coloring import colour_negative_edges_split
+
+    d = _t(spark, sf_dir, "documents")
+    pos = jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, ngram=1).select(
+        "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    neg = negative_edges_numeric_distance(
+        d.select(
+            F.col("doc_id").alias("unique_id"),
+            F.array(F.col("n_chars").cast("double")).alias("v"),
+            "lang",
+        ),
+        "v", distance=2000.0, block_col="lang",
+    )
+    return colour_negative_edges_split(pos, neg).orderBy("unique_id")
+
+
+def q_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleTermVisitor (features/terms.py): per-doc combo_basic top terms.
+    Float-scored ranking — rows-only; formula goldens in
+    tests/test_terms_incremental.py."""
+    from entity_resolution_spark.functions.terms import top_terms
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return top_terms(d, "text", id_col="doc_id", n=5).select(
+        "unique_id", F.array_join("terms", "|").alias("terms_cat")
+    ).orderBy("unique_id")
+
+
+def q_gcn_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCNCombiner (ml.py:31-209): SAGE mean layer over token-adjacency edges
+    with embedding node features, cosine > th, CC. Seeded Glorot weights
+    (no torch/S3 here) — rows-only; dense-arithmetic goldens in
+    tests/test_gcn.py."""
+    from entity_resolution_spark.operators.gcn import gcn_resolve
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("unique_id"), TX.distinct_tokens("text").alias("toks")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("unique_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    recs = d.join(e, "unique_id")
+    return gcn_resolve(recs, ["toks"], "emb", th=0.98, rep_dim=16).orderBy("unique_id")
+
+
+def q_acceptance_distribution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_acceptance_distribution (quality_metrics.py:344-365): sampled
+    pairwise acceptance scores over 5 seeded runs; clusters = minhash near-dup
+    components, ground truth = exact-text groups. Seeded xxhash sampling —
+    rows-only; semantics goldens in tests/test_distribution.py."""
+    from entity_resolution_spark.qa.distribution import check_acceptance_distribution
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    gt = d.groupBy("text").agg(F.min("doc_id").alias("_gt"))
+    clusters = (
+        d.join(gt, "text")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("string").alias("unique_id"),
+            F.col("lang").alias("blocking_key"),
+            F.coalesce(F.col("component").cast("string"),
+                       F.col("doc_id").cast("string")).alias("cluster_id"),
+            F.col("_gt").cast("string").alias("ground_truth"),
+        )
+    )
+    return check_acceptance_distribution(clusters, 0.3, 5).orderBy("run")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -761,6 +1019,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
+    "fastrp_cosine_docs": q_fastrp_cosine_docs,
+    "selected_text_docs": q_selected_text_docs,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "spectral_docs": q_spectral_docs,
+    "incremental_embeddings": q_incremental_embeddings,
+    "colour_split_docs": q_colour_split_docs,
+    "top_terms_docs": q_top_terms_docs,
+    "gcn_resolve_docs": q_gcn_resolve_docs,
+    "acceptance_distribution_docs": q_acceptance_distribution_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -783,7 +1050,13 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     "sanction_features": SQL_SANCTION_FEATURES,
+    "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
+    "selected_text_docs": SQL_SELECTED_TEXT_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
-    # (each is recall/equivalence-gated against its exact counterpart in bench.py)
+    # (each is recall/equivalence-gated against its exact counterpart in bench.py).
+    # kmeans / spectral / incremental / colour_split / top_terms / gcn /
+    # acceptance_distribution: iterative, eigen, greedy or RNG-seeded per-block
+    # algorithms — not SQL-expressible; each carries reference-golden pytest
+    # parity instead (see the query docstrings).
 }

@@ -1,0 +1,74 @@
+"""Sampled acceptance distribution + improvements — reference-semantics tests
+(qa/acceptance_metrics.py, qa/quality_metrics.py:344-365, qa/utils.py:56-103)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from entity_resolution_spark.qa.distribution import (
+    calculate_improvements,
+    check_acceptance_distribution,
+)
+
+
+def _perfect_clusters(spark, n_blocks=4, per_block=10):
+    rows = []
+    for b in range(n_blocks):
+        for i in range(per_block):
+            gt = f"b{b}e{i % 2}"          # two true entities per block
+            rows.append((f"b{b}r{i:02d}", f"blk{b}", gt, gt))
+    return spark.createDataFrame(
+        rows, ["unique_id", "blocking_key", "cluster_id", "ground_truth"]
+    )
+
+
+def test_perfect_clustering_scores_one(spark):
+    df = _perfect_clusters(spark)
+    out = check_acceptance_distribution(df, sampling_rate=0.4, number_of_runs=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["pairs_sampled"] > 0
+        assert r["accuracy"] == 1.0
+        assert abs(r["precision"] - 1.0) < 1e-12
+        assert abs(r["recall"] - 1.0) < 1e-12
+        assert abs(r["fscore"] - 1.0) < 1e-12
+
+
+def test_runs_differ_but_are_deterministic(spark):
+    """Different runs sample different pairs (distribution), but re-running the
+    same check reproduces it exactly (seeded hashing, no RNG state)."""
+    rows = [
+        (f"r{i:02d}", "blk", "c0" if i < 10 else f"c{i}", "g0" if i < 12 else f"g{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, ["unique_id", "blocking_key", "cluster_id", "ground_truth"]
+    )
+    o1 = check_acceptance_distribution(df, 0.5, 4).collect()
+    o2 = check_acceptance_distribution(df, 0.5, 4).collect()
+    assert sorted(map(tuple, o1)) == sorted(map(tuple, o2))
+    accs = {round(r["accuracy"], 6) for r in o1}
+    assert len(accs) >= 2  # sampling noise is visible across runs
+
+
+def test_calculate_improvements_reference_semantics():
+    frame = pd.DataFrame(
+        {"f1": [0.8, 0.4], "oc": [0.0, 0.2], "note": ["x", "y"]},
+        index=["tfidf", "kmeans"],
+    )
+    out = calculate_improvements(frame, ["tfidf"], ["tfidf", "kmeans"])
+    by = {(d["reference"], d["combiner"]): d for d in out}
+    assert by[("tfidf", "kmeans")]["f1"] == 0.5
+    assert by[("tfidf", "tfidf")]["f1"] == 1.0
+    assert by[("tfidf", "kmeans")]["oc"] == math.inf   # x/0 → inf
+    assert math.isnan(by[("tfidf", "tfidf")]["oc"])    # 0/0 → nan
+    assert "note" not in by[("tfidf", "kmeans")]        # non-numeric skipped
+
+
+def test_calculate_improvements_all_keyword():
+    frame = pd.DataFrame({"f1": [1.0, 0.5]}, index=["a", "b"])
+    out = calculate_improvements(frame, ["all"])
+    assert len(out) == 4
