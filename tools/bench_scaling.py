@@ -62,6 +62,11 @@ def main() -> int:
         "sample (shared host: neighbor load otherwise contaminates walls)",
     )
     ap.add_argument(
+        "--steal-retries", type=int, default=3,
+        help="extra attempts per config when a sample's hypervisor steal "
+        "exceeds 2%% of its core-seconds (neighbor contamination)",
+    )
+    ap.add_argument(
         "--repeats", type=int, default=3,
         help="alternating repeats per config; min wall is reported (the sandbox "
         "host is shared — load from other tenants adds noise that min-of-N "
@@ -133,6 +138,7 @@ def main() -> int:
     runs: dict[int, list[dict]] = {c: [] for c in core_list}
     for rep in range(args.repeats):
         for cores in core_list:
+            retries_left = args.steal_retries
             load = wait_for_quiet_host()
             env = dict(os.environ)
             # deliberately NOT raising spark.driver.memory: the 8g session
@@ -149,23 +155,37 @@ def main() -> int:
                 with open("/proc/stat") as f:
                     return int(f.readline().split()[8])
 
-            st0 = _steal()
-            p = subprocess.run(
-                [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
-                capture_output=True, text=True, env=env, timeout=3600,
-            )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if not line:
-                print(p.stdout[-2000:], p.stderr[-4000:])
-                return 1
-            r = json.loads(line[-1])
-            r["host_load_before"] = round(load, 1)
-            # hypervisor CPU steal during the sample (jiffies -> cpu-seconds):
-            # the sandbox's neighbors live OUTSIDE the VM, so loadavg can't see
-            # them — steal can
-            r["steal_cpu_s"] = round((_steal() - st0) / 100.0, 1)
-            runs[cores].append(r)
-            print(json.dumps(r), flush=True)
+            while True:
+                st0 = _steal()
+                p = subprocess.run(
+                    [sys.executable, "-c", child_src, str(cores), str(args.entities), corpus_dir],
+                    capture_output=True, text=True, env=env, timeout=3600,
+                )
+                line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if not line:
+                    print(p.stdout[-2000:], p.stderr[-4000:])
+                    return 1
+                r = json.loads(line[-1])
+                r["host_load_before"] = round(load, 1)
+                # hypervisor CPU steal during the sample (jiffies → cpu-s):
+                # the sandbox's neighbors live OUTSIDE the VM, so loadavg
+                # can't see them — steal can
+                r["steal_cpu_s"] = round((_steal() - st0) / 100.0, 1)
+                # steal-aware retry: a sample whose hypervisor steal exceeds
+                # 2% of its core-seconds was measured against neighbors, not
+                # the job (a 98-steal-s 16-core sample ran 12% slower than the
+                # same job on a quiet host). min-of-N can't fix a config whose
+                # EVERY sample is dirty — redo dirty samples while budget lasts.
+                dirty = r["steal_cpu_s"] > 0.02 * cores * r["wall_sec"]
+                if dirty and retries_left > 0:
+                    retries_left -= 1
+                    r["discarded_dirty"] = True
+                    print(json.dumps(r), flush=True)
+                    load = wait_for_quiet_host()
+                    continue
+                runs[cores].append(r)
+                print(json.dumps(r), flush=True)
+                break
 
     # min wall per config — the least-contended sample approximates the
     # uncontended job; cluster counts must agree across every run
