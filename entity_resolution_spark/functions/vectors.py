@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import DoubleType
 
 
@@ -84,20 +85,23 @@ def tfidf_vectors(
     Physical strategy (both produce identical output — same weights, same
     xxhash64-derived int32 term ids, same tie rules):
 
-    - **vocab fits** (post-``min_df`` filter survives ≤ ``broadcast_vocab_rows``
-      terms — on a code corpus ~99% of shingles are hapax, so ``min_df=2``
-      keeps ~1%): the df aggregation still runs as one JVM shuffle, but the
-      per-doc assembly is ONE Arrow kernel over the docs frame with the
-      (term → idf) vocabulary broadcast as two numpy arrays — no explode, no
-      join, no ``collect_list``. The previous JVM shape spent 540 executor-CPU-s
-      (38% of the job) in ObjectHashAggregate partial/final building 137.9M
-      per-row struct objects on the 703k-file corpus, and its GC (10s@4cores →
-      165s@16cores) was the dominant anti-scaling term — object-heavy JVM
-      aggregation contends in a shared heap, while Arrow workers are separate
-      processes that scale with cores.
-    - **vocab too large** (100 TB-scale vocabularies): shuffle path — explode →
-      idf equi-join → top-k truncation via sorted-struct HOFs, everything
-      JVM-side and shuffle-bounded.
+    - **vocab ≤ broadcast_vocab_rows**: per-doc assembly is ONE Arrow kernel
+      over the docs frame with the (term → idf) vocabulary broadcast as two
+      numpy arrays — no explode, no join, no ``collect_list``. The JVM shape it
+      replaces spent 540 executor-CPU-s (38% of the job) in ObjectHashAggregate
+      partial/final building 137.9M per-row struct objects on the 703k-file
+      corpus, and its GC (10s@4cores → 165s@16cores) was the dominant
+      anti-scaling term — object-heavy JVM aggregation contends in a shared
+      heap, while Arrow workers are separate processes that scale with cores.
+    - **beyond** (the 703k-file corpus measures 27.6M surviving terms — too
+      big for a driver collect; a file-distributed vocab was tried and
+      measured 3× WORSE, per-worker loads dominating): shuffle path —
+      SHUFFLE_HASH idf join (nothing to sort, nothing to spill; an SMJ here
+      sorted the 137.9M-row exploded side for 13.6 GB of spill) → one
+      repartition by doc + in-partition radix sort → the same Arrow
+      run-assembler, streaming. No ``collect_list`` anywhere: the previous
+      ObjectHashAggregate final cost 167 CPU-s and its docs×partitions
+      partial inflation + boxed-struct GC were the anti-scaling terms.
     """
     # contract: id_col is unique per row (the pipeline's unique_id), so a plain
     # count avoids a full distinct shuffle before the plan even builds
@@ -146,57 +150,79 @@ def tfidf_vectors(
             if persisted is not None:
                 persisted.remove(idf)
             return out
+    # Big-vocab path. Two deliberate physical choices, both measured on the
+    # 703k-file / 27.6M-surviving-term corpus:
+    # - SHUFFLE_HASH for the idf join: a sort-merge join sorted the 137.9M-row
+    #   exploded side (13.6 GB spill, 230 executor-CPU-s at 16 cores); the
+    #   hash build side is vocab/parts (~3 MB per partition at 128) — nothing
+    #   to sort, nothing to spill.
+    # - the per-doc array assembly streams through one repartition + in-
+    #   partition radix sort into an Arrow run-assembler, instead of a
+    #   collect_list ObjectHashAggregate (boxed struct buffers, 167 CPU-s
+    #   final pass, docs×partitions partial inflation, shared-heap GC that
+    #   anti-scales with cores). Tungsten binary sort + numpy assembly scale
+    #   with cores; output is bit-identical to the broadcast kernel (same
+    #   JVM xxhash64-derived _th, same tie/dedup rules — parity-tested).
+    #
     # term ids re-hashed to int32: the pair join ships terms/weights through
     # the shuffle AND the Arrow boundary twice per pair — 4-byte terms halve
     # the dominant payload. Within-pair false-match P ≈ k²/2^32 ≈ 4e-6 at
-    # k=128 (adds ≤ one w_a·w_b product to cosine for ~4-in-a-million pairs);
-    # corpus-wide collisions only nudge df counts. Deterministic.
-    weighted = tf.join(idf, "_t").select(
+    # k=128; corpus-wide collisions only nudge df counts. Deterministic.
+    weighted = tf.join(idf.hint("shuffle_hash"), "_t").select(
         "_id",
         F.xxhash64("_t").bitwiseAND(F.lit((1 << 31) - 1)).cast("int").alias("_th"),
         (F.col("_tf") * F.col("_idf")).alias("_w"),
     )
-    # Truncate to the top_k highest-weight terms per doc and renormalize: per-row
-    # payload is then bounded (the pair join ships these arrays — measured 12 GB
-    # of untruncated arrays dominating the whole scoring stage). Deterministic:
-    # ties break on term hash. Each derived array is bound to a column before the
-    # next HOF uses it (no re-evaluation inside lambdas).
-    agg = weighted.groupBy("_id").agg(
-        F.collect_list(F.struct(F.col("_w"), F.col("_th"))).alias("_l")
+    stream = weighted.repartition("_id").sortWithinPartitions("_id")
+    id_field = docs.select(id_col).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("terms", T.ArrayType(T.IntegerType())),
+            T.StructField("weights", T.ArrayType(T.FloatType())),
+        ]
     )
-    by_weight_desc = F.reverse(F.array_sort("_l"))
-    if top_k is not None:
-        by_weight_desc = F.slice(by_weight_desc, 1, top_k)
-    step1 = agg.select("_id", by_weight_desc.alias("_top"))
-    step2 = step1.select(
-        "_id",
-        F.array_sort(
-            F.transform("_top", lambda s: F.struct(s["_th"].alias("_th"), s["_w"].alias("_w")))
-        ).alias("_tw"),
-        F.sqrt(
-            F.aggregate("_top", F.lit(0.0), lambda acc, s: acc + s["_w"] * s["_w"])
-        ).alias("_norm"),
-    )
-    # The 31-bit re-hash can (P ≈ k²/2^32 per doc) map two distinct terms to one
-    # _th; the scoring UDF's np.intersect1d(assume_unique=True) contract requires
-    # duplicate-free term arrays, so drop all-but-the-last of any equal-_th run
-    # (_tw is sorted by (_th, _w): the kept element is the max-weight one). The
-    # dropped weight still participates in _norm — a ≤1-ulp-scale distortion for
-    # ~4-in-a-million docs, vs undefined numpy behavior.
-    step2 = step2.select(
-        "_id",
-        "_norm",
-        F.filter(
-            F.col("_tw"),
-            lambda s, i: (i == F.size("_tw") - 1)
-            | (s["_th"] != F.element_at(F.col("_tw"), i + 2)["_th"]),
-        ).alias("_tw"),
-    )
-    return step2.select(
-        F.col("_id").alias(id_col),
-        F.col("_tw._th").alias("terms"),
-        F.transform("_tw", lambda s: (s["_w"] / F.col("_norm")).cast("float")).alias("weights"),
-    )
+    k_cap = top_k
+
+    def _flush(ids, th, w):
+        # ids arrive SORTED (in-partition radix sort): group codes are one
+        # run-length pass — no lexsort over (possibly string-typed) raw ids
+        new = np.concatenate(([True], ids[1:] != ids[:-1]))
+        codes = np.cumsum(new) - 1
+        firsts = ids[np.nonzero(new)[0]]
+        gids, terms, weights = _assemble_group_arrays(
+            codes.astype(np.int64), th, w, k_cap
+        )
+        return pd.DataFrame(
+            {id_col: firsts[gids], "terms": terms, "weights": weights}
+        )
+
+    def run_assembler(batches):
+        """Rows sorted by _id within the partition; a doc's run may span
+        batches — carry the tail run forward and flush it with the next batch."""
+        pend = None
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy()
+            th = pdf["_th"].to_numpy().astype(np.int64)
+            w = pdf["_w"].to_numpy()
+            if pend is not None:
+                ids = np.concatenate([pend[0], ids])
+                th = np.concatenate([pend[1], th])
+                w = np.concatenate([pend[2], w])
+                pend = None
+            if len(ids) == 0:
+                continue
+            # hold back the (possibly incomplete) run of the last id
+            cut = np.searchsorted(ids, ids[-1], side="left")
+            if cut == 0:
+                pend = (ids, th, w)
+                continue
+            pend = (ids[cut:], th[cut:], w[cut:])
+            yield _flush(ids[:cut], th[:cut], w[:cut])
+        if pend is not None and len(pend[0]):
+            yield _flush(*pend)
+
+    return stream.mapInPandas(run_assembler, out_schema)
 
 
 # xxhash64 of one little-endian long, seed 42 — bit-exact replica of Spark's
@@ -227,6 +253,43 @@ def _xxhash64_long(v: np.ndarray, seed: int = 42) -> np.ndarray:
     return h
 
 
+def _assemble_group_arrays(gids: np.ndarray, th: np.ndarray, w: np.ndarray, k_cap):
+    """The shared per-group assembly core (both physical strategies call it):
+    (ascending-grouped int64 group keys, int64 term hashes, float64 weights) →
+    (group keys, list of int32 term arrays, list of float32 weight arrays).
+
+    Semantics are the engine's canonical ones: top-k by (weight desc, hash
+    desc); L2 norm over the top-k INCLUDING any hash-collided duplicate;
+    output sorted by (hash asc); equal-hash runs keep the max-weight element.
+    """
+    o = np.lexsort((-th, -w, gids))
+    g, w, th = gids[o], w[o], th[o]
+    new = np.concatenate(([True], g[1:] != g[:-1]))
+    seg_starts = np.nonzero(new)[0]
+    rank = np.arange(len(g)) - seg_starts[np.cumsum(new) - 1]
+    if k_cap is not None:
+        keep = rank < k_cap
+        g, w, th = g[keep], w[keep], th[keep]
+        seg_starts = np.nonzero(np.concatenate(([True], g[1:] != g[:-1])))[0]
+    if len(g) == 0:
+        return g, [], []
+    norm = np.sqrt(np.add.reduceat(w * w, seg_starts))
+
+    o2 = np.lexsort((w, th, g))
+    g, w, th = g[o2], w[o2], th[o2]
+    last_of_run = np.concatenate(((th[1:] != th[:-1]) | (g[1:] != g[:-1]), [True]))
+    g, w, th = g[last_of_run], w[last_of_run], th[last_of_run]
+    new = np.concatenate(([True], g[1:] != g[:-1]))
+    seg_starts = np.nonzero(new)[0]
+    wn = (w / norm[np.cumsum(new) - 1]).astype(np.float32)
+    bounds = seg_starts[1:]
+    return (
+        g[seg_starts],
+        [a.astype(np.int32) for a in np.split(th, bounds)],
+        list(np.split(wn, bounds)),
+    )
+
+
 def _assemble_vectors_arrow(
     docs: DataFrame,
     id_col: str,
@@ -246,8 +309,6 @@ def _assemble_vectors_arrow(
     computed over the top-k INCLUDING any hash-collided duplicate, dedup keeps
     the max-weight element, docs with zero surviving terms emit no row.
     """
-    import pyspark.sql.types as T
-
     spark = docs.sparkSession
     vocab_pd = idf.toArrow().to_pandas()
     vt = vocab_pd["_t"].to_numpy(dtype=np.int64)
@@ -303,47 +364,14 @@ def _assemble_vectors_arrow(
             w = vidf[pos] if tf is None else vidf[pos] * tf[found]
             th = (_xxhash64_long(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
 
-            # top-k: row asc, weight desc, hash desc (ties on weight keep the
-            # larger hash — reverse(array_sort(struct(_w,_th))) parity)
-            o = np.lexsort((-th, -w, rows))
-            rows, w, th = rows[o], w[o], th[o]
-            seg_starts = np.nonzero(
-                np.concatenate(([True], rows[1:] != rows[:-1]))
-            )[0]
-            seg_of = np.cumsum(np.concatenate(([True], rows[1:] != rows[:-1]))) - 1
-            rank = np.arange(len(rows)) - seg_starts[seg_of]
-            if k_cap is not None:
-                keep = rank < k_cap
-                rows, w, th = rows[keep], w[keep], th[keep]
-                seg_starts = np.nonzero(
-                    np.concatenate(([True], rows[1:] != rows[:-1]))
-                )[0]
-            if len(rows) == 0:
+            out_rows, terms, weights = _assemble_group_arrays(rows, th, w, k_cap)
+            if len(out_rows) == 0:
                 continue
-            norm = np.sqrt(np.add.reduceat(w * w, seg_starts))
-
-            # output order: hash asc, weight asc; drop all-but-last of equal-
-            # hash runs (the kept one is max-weight; norm already includes the
-            # dropped weight — shuffle-path parity)
-            o2 = np.lexsort((w, th, rows))
-            rows, w, th = rows[o2], w[o2], th[o2]
-            last_of_run = np.concatenate(
-                ((th[1:] != th[:-1]) | (rows[1:] != rows[:-1]), [True])
-            )
-            rows, w, th = rows[last_of_run], w[last_of_run], th[last_of_run]
-            seg_starts = np.nonzero(
-                np.concatenate(([True], rows[1:] != rows[:-1]))
-            )[0]
-            seg_of = np.cumsum(np.concatenate(([True], rows[1:] != rows[:-1]))) - 1
-            wn = (w / norm[seg_of]).astype(np.float32)
-
-            row_ids = np.unique(rows)
-            bounds = seg_starts[1:]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy()[row_ids],
-                    "terms": [a.astype(np.int32) for a in np.split(th, bounds)],
-                    "weights": list(np.split(wn, bounds)),
+                    id_col: pdf[id_col].to_numpy()[out_rows],
+                    "terms": terms,
+                    "weights": weights,
                 }
             )
 
