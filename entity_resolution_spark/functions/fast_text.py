@@ -39,6 +39,21 @@ _TOKEN_RE = re.compile(r"[^a-z0-9_]+")
 _A = np.uint64(1099511628211)  # FNV-1a prime: polynomial rolling multiplier
 _WIDEN = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant widens crc32
 
+N_MINHASH = 32  # signature width baked into the kernel (BlockingConfig.num_hashes)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public constant set, Steele et al.) —
+    the per-salt MinHash mixer. uint64, wraps mod 2^64 by design."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+# 32 deterministic salts (splitmix of 1..32): one hash function per signature slot
+_MH_SALTS = _splitmix64(np.arange(1, N_MINHASH + 1, dtype=np.uint64) * _WIDEN)
+
 
 def _poly_windows(vals: np.ndarray, k: int) -> np.ndarray:
     """Polynomial hash of every k-window of ``vals`` (uint64, wraps mod 2^64).
@@ -60,29 +75,46 @@ def _poly_windows(vals: np.ndarray, k: int) -> np.ndarray:
 def _code_features_batch(texts: pd.Series, shingle_k: int) -> pd.DataFrame:
     sh_out: list[np.ndarray] = []
     fp_out: list[np.ndarray] = []
+    mh_out: list[np.ndarray] = []
     nt_out = np.zeros(len(texts), np.int64)
+    empty = np.empty(0, np.int64)
     for i, text in enumerate(texts):
         if not text:
-            sh_out.append(np.empty(0, np.int64))
-            fp_out.append(np.empty(0, np.int64))
+            sh_out.append(empty)
+            fp_out.append(empty)
+            mh_out.append(empty)
             continue
         toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
         nt_out[i] = len(toks)
         if not toks:
-            sh_out.append(np.empty(0, np.int64))
-            fp_out.append(np.empty(0, np.int64))
+            sh_out.append(empty)
+            fp_out.append(empty)
+            mh_out.append(empty)
             continue
         crcs = np.fromiter(
             (zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in toks),
             np.uint32, len(toks),
         ).astype(np.uint64) * _WIDEN
-        sh = np.unique(_poly_windows(crcs, shingle_k)).view(np.int64)
+        shu = np.unique(_poly_windows(crcs, shingle_k))
+        sh = shu.view(np.int64)
         fps = _poly_windows(crcs, 8)
         fps = np.unique(fps[(fps & np.uint64(15)) == 0]).view(np.int64)
+        # MinHash signature right here, while the shingle hashes are hot in
+        # cache: one (n_shingles × 32) splitmix min-reduce per doc. The
+        # previous shape exploded 137.9M shingle rows back out of the cache
+        # and ran 32 JVM hash evals per row into a groupBy — ~300
+        # executor-CPU-s of the blocking stage on the 703k-file corpus.
+        sig = _splitmix64(shu[:, None] + _MH_SALTS[None, :]).min(axis=0)
         sh_out.append(sh)
         fp_out.append(fps)
+        mh_out.append(sig.view(np.int64))
     return pd.DataFrame(
-        {"shingles": sh_out, "fingerprints": fp_out, "n_tokens": nt_out}
+        {
+            "shingles": sh_out,
+            "fingerprints": fp_out,
+            "minhash": mh_out,
+            "n_tokens": nt_out,
+        }
     )
 
 
@@ -98,6 +130,7 @@ def code_features(content, shingle_k: int = 5):
             return _code_features_batch(texts, shingle_k)
 
         _udf_cache[shingle_k] = F.pandas_udf(
-            "shingles array<long>, fingerprints array<long>, n_tokens long"
+            "shingles array<long>, fingerprints array<long>, "
+            "minhash array<long>, n_tokens long"
         )(_fn)
     return _udf_cache[shingle_k](content)

@@ -91,16 +91,40 @@ def path_token_blocks(features: DataFrame) -> DataFrame:
 def minhash_band_blocks(features: DataFrame, cfg: BlockingConfig) -> DataFrame:
     """MinHash-LSH band keys over content shingles.
 
-    One explode + one groupBy computes the whole signature (H min-aggregates in a
-    single pass — map-side partial aggregation keeps the shuffle at |docs|·H, not
-    |shingles|). Band keys are hashes of signature slices; each band emits one
-    ``(unique_id, block_key)`` row.
+    Fast path: the Arrow tokenizer already emits the 32-slot signature per doc
+    (``fast_text.N_MINHASH`` splitmix salts min-reduced while the shingle
+    hashes are cache-hot), so band keys are a pure projection over the cached
+    features frame — no explode, no aggregation. The previous shape re-exploded
+    137.9M shingle rows and ran ``num_hashes`` JVM hash evals per row into a
+    groupBy (~300 executor-CPU-s of the blocking stage at 703k files).
+
+    Fallback (features lacking the ``minhash`` column, or a non-kernel
+    ``num_hashes``): one explode + one groupBy of H min-aggregates — map-side
+    partial aggregation keeps the shuffle at |docs|·H, not |shingles|.
     """
-    exploded = features.select("unique_id", "lang", F.explode("shingles").alias("_v"))
-    sig = exploded.groupBy("unique_id", "lang").agg(
-        *minhash_signature(F.col("_v"), cfg.num_hashes)
-    )
-    sig = sig.select("unique_id", "lang", *band_keys(cfg.num_hashes, cfg.bands))
+    from entity_resolution_spark.functions.fast_text import N_MINHASH
+
+    if "minhash" in features.columns and cfg.num_hashes == N_MINHASH:
+        rows = cfg.num_hashes // cfg.bands
+        sig = features.where(F.size("minhash") == cfg.num_hashes).select(
+            "unique_id", "lang", "minhash"
+        )
+        bands = [
+            F.xxhash64(
+                F.lit(f"band{b}"),
+                *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)],
+            ).alias(f"band_{b}")
+            for b in range(cfg.bands)
+        ]
+        sig = sig.select("unique_id", "lang", *bands)
+    else:
+        exploded = features.select(
+            "unique_id", "lang", F.explode("shingles").alias("_v")
+        )
+        sig = exploded.groupBy("unique_id", "lang").agg(
+            *minhash_signature(F.col("_v"), cfg.num_hashes)
+        )
+        sig = sig.select("unique_id", "lang", *band_keys(cfg.num_hashes, cfg.bands))
     stacked = sig.select(
         "unique_id",
         F.explode(

@@ -147,6 +147,11 @@ def gcn_resolve(
     from entity_resolution_spark.operators.components import connected_components
 
     first = records.select(F.size(F.col(node_feat_col).cast("array<double>")).alias("d")).first()
+    if first is None:
+        return records.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.lit(None).cast("string").alias("cluster_id"),
+        )
     in_dim = int(first["d"])
     if weights is None:
         weights = glorot_weights(in_dim, rep_dim, seed=seed)

@@ -106,6 +106,7 @@ def extract_features(
         "path_toks",
         F.col("_cf.shingles").alias("shingles"),
         F.col("_cf.fingerprints").alias("fingerprints"),
+        F.col("_cf.minhash").alias("minhash"),
         F.col("_cf.n_tokens").alias("n_tokens"),
     )
 
