@@ -95,13 +95,18 @@ def tfidf_vectors(
       heap, while Arrow workers are separate processes that scale with cores.
     - **beyond** (the 703k-file corpus measures 27.6M surviving terms — too
       big for a driver collect; a file-distributed vocab was tried and
-      measured 3× WORSE, per-worker loads dominating): shuffle path —
-      SHUFFLE_HASH idf join (nothing to sort, nothing to spill; an SMJ here
-      sorted the 137.9M-row exploded side for 13.6 GB of spill) → one
-      repartition by doc + in-partition radix sort → the same Arrow
-      run-assembler, streaming. No ``collect_list`` anywhere: the previous
-      ObjectHashAggregate final cost 167 CPU-s and its docs×partitions
-      partial inflation + boxed-struct GC were the anti-scaling terms.
+      measured 3× WORSE, per-worker loads dominating): stream path — ONE
+      term-partitioned window ``count(*)`` fuses the df census, the
+      min_df/max_df filter and the idf weighting into a single exchange +
+      in-partition sort (the earlier shape here — a census exchange + a
+      SHUFFLE_HASH idf join — paid three term-volume exchanges and per-task
+      27.6M-entry JVM hash builds) → one repartition by doc + in-partition
+      radix sort → an Arrow run-assembler, streaming. No ``collect_list``
+      anywhere: the previous ObjectHashAggregate final cost 167 CPU-s and
+      its docs×partitions partial inflation + boxed-struct GC were the
+      anti-scaling terms. A cheap HLL distinct probe decides whether the
+      exact census for the broadcast gate is worth running at all (within
+      4× of the gate) or the corpus is clearly stream-sized.
     """
     # contract: id_col is unique per row (the pipeline's unique_id), so a plain
     # count avoids a full distinct shuffle before the plan even builds
@@ -124,55 +129,84 @@ def tfidf_vectors(
         )
         if persisted is not None:
             persisted.append(tf)  # caller releases once downstream is materialized
-    df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
-    vocab_filtered = False
-    if max_df_frac < 1.0:
-        df_ = df_.where(F.col("_df") <= int(max_df_frac * n_docs))
-        vocab_filtered = True
-    if min_df > 1:
-        df_ = df_.where(F.col("_df") >= min_df)
-        vocab_filtered = True
-    idf = df_.select(
-        "_t",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0).alias("_idf"),
-    )
+    vocab_filtered = min_df > 1 or max_df_frac < 1.0
     if vocab_filtered:
-        # size-gate with a real count; the surviving vocab is tiny relative to
-        # the term stream, so persist + count is ~free
-        idf = idf.persist()
-        if persisted is not None:
-            persisted.append(idf)
-        if idf.count() <= broadcast_vocab_rows:
-            out = _assemble_vectors_arrow(
-                docs, id_col, term_col, idf, top_k, terms_distinct
-            )
+        # Gate for the broadcast-kernel fast path. The exact surviving-vocab
+        # census is itself a full map-side-combine shuffle over the term
+        # stream, so probe first with one cheap HLL aggregate (narrow pass
+        # over the cached docs frame, constant-size shuffle): raw-distinct
+        # BOUNDS survival from above only loosely on hapax-heavy corpora, so
+        # a corpus within 4x of the gate still gets the exact census, while a
+        # clearly-over corpus (the 703k-file bench measures 73.6M raw /
+        # 27.6M surviving vs a 4M gate) skips the census entirely — its df
+        # counts come fused into the stream pass below.
+        approx_vocab = tf.agg(
+            F.approx_count_distinct("_t", rsd=0.05).alias("_v")
+        ).first()["_v"]
+        if approx_vocab <= 4 * broadcast_vocab_rows:
+            df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+            if max_df_frac < 1.0:
+                df_ = df_.where(F.col("_df") <= int(max_df_frac * n_docs))
+            if min_df > 1:
+                df_ = df_.where(F.col("_df") >= min_df)
+            idf = df_.select(
+                "_t",
+                (
+                    F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0
+                ).alias("_idf"),
+            ).persist()
+            small = idf.count() <= broadcast_vocab_rows
+            if small:
+                out = _assemble_vectors_arrow(
+                    docs, id_col, term_col, idf, top_k, terms_distinct
+                )
             idf.unpersist()
-            if persisted is not None:
-                persisted.remove(idf)
-            return out
-    # Big-vocab path. Two deliberate physical choices, both measured on the
-    # 703k-file / 27.6M-surviving-term corpus:
-    # - SHUFFLE_HASH for the idf join: a sort-merge join sorted the 137.9M-row
-    #   exploded side (13.6 GB spill, 230 executor-CPU-s at 16 cores); the
-    #   hash build side is vocab/parts (~3 MB per partition at 128) — nothing
-    #   to sort, nothing to spill.
-    # - the per-doc array assembly streams through one repartition + in-
-    #   partition radix sort into an Arrow run-assembler, instead of a
-    #   collect_list ObjectHashAggregate (boxed struct buffers, 167 CPU-s
-    #   final pass, docs×partitions partial inflation, shared-heap GC that
-    #   anti-scales with cores). Tungsten binary sort + numpy assembly scale
-    #   with cores; output is bit-identical to the broadcast kernel (same
-    #   JVM xxhash64-derived _th, same tie/dedup rules — parity-tested).
+            if small:
+                return out
+    # Big-vocab stream path: ONE term-partitioned window count fuses the df
+    # census, the min_df/max_df filter, the idf weighting and the int32
+    # re-hash into a single exchange + in-partition Tungsten sort — replacing
+    # the previous THREE term-volume exchanges (df census with its
+    # ~distinct-per-map-task partial-agg emit, the exploded probe of a
+    # SHUFFLE_HASH idf join, and the idf build side) and the per-task
+    # 27.6M-entry JVM idf hash builds. All JVM: an Arrow-kernel variant of the
+    # same fusion was measured 22s SLOWER at 16 cores — 137.9M rows crossing
+    # the Python boundary twice costs more than the hash builds it saves
+    # (unlike the per-doc assembly below, whose input is already Python-bound).
+    #
+    # The per-doc array assembly then streams through one repartition + in-
+    # partition radix sort into an Arrow run-assembler, instead of a
+    # collect_list ObjectHashAggregate (boxed struct buffers, 167 CPU-s
+    # final pass, docs×partitions partial inflation, shared-heap GC that
+    # anti-scales with cores). Tungsten binary sort + numpy assembly scale
+    # with cores; output is bit-identical to the broadcast kernel (same
+    # xxhash64-derived _th, same tie/dedup rules — parity-tested).
     #
     # term ids re-hashed to int32: the pair join ships terms/weights through
     # the shuffle AND the Arrow boundary twice per pair — 4-byte terms halve
     # the dominant payload. Within-pair false-match P ≈ k²/2^32 ≈ 4e-6 at
     # k=128; corpus-wide collisions only nudge df counts. Deterministic.
-    weighted = tf.join(idf.hint("shuffle_hash"), "_t").select(
+    from pyspark.sql import Window
+
+    counted = tf.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_t"))
+    )
+    weighted = counted.where(
+        (F.col("_df") >= min_df) & (F.col("_df") <= int(max_df_frac * n_docs))
+    ).select(
         "_id",
         F.xxhash64("_t").bitwiseAND(F.lit((1 << 31) - 1)).cast("int").alias("_th"),
-        (F.col("_tf") * F.col("_idf")).alias("_w"),
+        (
+            F.col("_tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0)
+        ).alias("_w"),
     )
+    # In-partition Tungsten sort feeding a STREAMING Arrow run-assembler.
+    # (The sort-free variant — whole-partition numpy accumulate + np.unique
+    # grouping — was measured: it cuts JVM CPU 460→330s on this stage but the
+    # JVM tasks then idle on the 16 Python workers and stage wall grows
+    # 30.1→35.6s; the sorted stream also keeps worker memory O(batch), which
+    # the accumulate variant loses.)
     stream = weighted.repartition("_id").sortWithinPartitions("_id")
     id_field = docs.select(id_col).schema.fields[0]
     out_schema = T.StructType(

@@ -166,7 +166,9 @@ def apply_block_caps(assignments: DataFrame, cap: int, salt_col: str = "unique_i
     other bands) still link them, and CC restores transitivity.
     """
     sizes = assignments.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    joined = assignments.join(sizes, "block_key")
+    # hash-build on the aggregated (1 row/key) side; SMJ would sort the full
+    # exploded assignment stream just to look up a per-key size
+    joined = assignments.join(sizes.hint("shuffle_hash"), "block_key")
     n_sub = F.ceil(F.col("_bs") / F.lit(cap)).cast("long")
     salted = F.when(
         F.col("_bs") <= cap, F.col("block_key")

@@ -70,22 +70,27 @@ def build_pair_features(
     # persist so the join runs once (plan trees duplicate unshared subtrees)
     # sha carried as 32-byte BINARY through the pair join (vs 64-char hex
     # string): equality-only use, half the bytes in the wide shuffle
-    feat = features.join(vectors, "unique_id", "left").select(
+    feat = features.join(vectors.hint("shuffle_hash"), "unique_id", "left").select(
         "unique_id", "lang", F.unhex("content_sha").alias("content_sha"),
         "stem", "terms", "weights"
     )
     if block_sizes is not None:
         feat = feat.join(
-            block_sizes.select("unique_id", "block_n"), "unique_id", "left"
+            block_sizes.select("unique_id", "block_n").hint("shuffle_hash"),
+            "unique_id", "left",
         )
     feat = feat.persist()
     if persisted is not None:
         persisted.append(feat)  # caller releases once downstream is materialized
     a = feat.select(*[F.col(c).alias(f"{c}_a") for c in feat.columns])
     b = feat.select(*[F.col(c).alias(f"{c}_b") for c in feat.columns])
+    # SHUFFLE_HASH on the feat probes: the feat rows are WIDE (two top-k
+    # term/weight arrays ≈ 1 KB) — a sort-merge join Tungsten-sorts that
+    # payload on both probe sides; hashing the feat partition (≈ feat_bytes /
+    # n_parts per task) skips both sorts, and the narrow pairs side streams.
     p = (
-        pairs.join(a, pairs["id_a"] == a["unique_id_a"])
-        .join(b, pairs["id_b"] == b["unique_id_b"])
+        pairs.join(a.hint("shuffle_hash"), pairs["id_a"] == a["unique_id_a"])
+        .join(b.hint("shuffle_hash"), pairs["id_b"] == b["unique_id_b"])
     )
     # JVM-expressible features are computed BEFORE the Python boundary and ride
     # through the Arrow batch untouched; cosine/jaccard/jw come from the one

@@ -178,7 +178,8 @@ def resolve(
         block_sizes = (
             assignments.groupBy("block_key")
             .agg(F.count("*").alias("_n"))
-            .join(assignments, "block_key")
+            .hint("shuffle_hash")   # build on the aggregated (1 row/key) side;
+            .join(assignments, "block_key")  # nothing sorts the exploded side
             .groupBy("unique_id")
             .agg(F.max("_n").alias("block_n"))
         )

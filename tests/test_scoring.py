@@ -167,3 +167,49 @@ def test_typed_feature_tokens_features_text_vectorisation(spark):
     assert got[("r1", "r2")] > 0.3      # shares LANG-python and KW-tok
     assert got[("r1", "r3")] == 0.0     # nothing shared
     assert got[("r2", "r3")] == 0.0     # disjoint values in every family
+
+
+def test_tfidf_physical_strategy_parity(spark):
+    """The three physical strategies — broadcast kernel, fused term-stream
+    kernel, census+join (string fallback) — must emit bit-identical vectors:
+    same int32 term ids, same float32 weights, same tie/dedup handling."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vocab = [rng.getrandbits(63) - (1 << 62) for _ in range(300)]
+    for i in range(120):
+        toks = sorted(set(rng.sample(vocab, rng.randint(1, 40))))
+        rows.append((i, toks))
+    docs = spark.createDataFrame(rows, "unique_id long, toks array<long>")
+
+    def snap(df):
+        return {
+            r["unique_id"]: (list(r["terms"]), list(r["weights"]))
+            for r in df.collect()
+        }
+
+    # broadcast gate wide open -> broadcast kernel
+    bcast = snap(
+        tfidf_vectors(
+            docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
+            terms_distinct=True, broadcast_vocab_rows=10**9,
+        )
+    )
+    # gate forced shut -> fused term-stream kernel
+    fused = snap(
+        tfidf_vectors(
+            docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
+            terms_distinct=True, broadcast_vocab_rows=0,
+        )
+    )
+    assert bcast == fused
+    # terms_distinct=False (tf aggregation first) must agree too: inputs are
+    # duplicate-free, so tf==1 and the output is identical
+    tf_path = snap(
+        tfidf_vectors(
+            docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
+            terms_distinct=False, broadcast_vocab_rows=0,
+        )
+    )
+    assert bcast == tf_path
