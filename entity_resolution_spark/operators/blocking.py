@@ -69,11 +69,22 @@ class BlockingConfig:
 
 
 def exact_sha_blocks(features: DataFrame, cfg: BlockingConfig) -> DataFrame:
-    """(unique_id, block_key) for exact-content duplicates: lang + content-sha prefix."""
+    """(unique_id, block_key) for exact-content duplicates: lang + content-sha prefix.
+
+    Block keys across every family are int64 ``xxhash64(family, lang, value)``
+    — NOT strings. The union of all families (~50 key rows per record at the
+    default config) is the widest-fanout frame of the pipeline, and its bytes
+    flow through the cache, the sizing aggregation+join, and the candidate
+    self-join; 8-byte integer keys vs ~40-byte strings is a structural
+    shuffle/cache cut, and integer compares beat string compares in every
+    downstream sort/hash. A cross-family 64-bit collision merely merges two
+    blocks (extra candidate pairs for the scorer to reject): P ≈ keys²/2^65,
+    recall-safe by construction.
+    """
     return features.select(
         "unique_id",
-        F.concat_ws(
-            ":", F.lit("sha"), "lang", F.substring("content_sha", 1, cfg.sha_prefix_len)
+        F.xxhash64(
+            F.lit("sha"), "lang", F.substring("content_sha", 1, cfg.sha_prefix_len)
         ).alias("block_key"),
     )
 
@@ -82,8 +93,8 @@ def path_token_blocks(features: DataFrame) -> DataFrame:
     """(unique_id, block_key) on normalized path tokens (skip empty token sets)."""
     return features.where(F.size("path_toks") > 0).select(
         "unique_id",
-        F.concat_ws(
-            ":", F.lit("path"), "lang", F.concat_ws("_", "path_toks")
+        F.xxhash64(
+            F.lit("path"), "lang", F.concat_ws("_", "path_toks")
         ).alias("block_key"),
     )
 
@@ -130,7 +141,9 @@ def minhash_band_blocks(features: DataFrame, cfg: BlockingConfig) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(":", F.lit(f"mh{b}"), "lang", F.col(f"band_{b}"))
+                    # band identity is already inside band_b (per-band seeded
+                    # xxhash64); fold lang in and emit the int64 key directly
+                    F.xxhash64(F.lit("mh"), "lang", F.col(f"band_{b}"))
                     for b in range(cfg.bands)
                 ]
             )
@@ -151,7 +164,7 @@ def fingerprint_blocks(features: DataFrame) -> DataFrame:
         F.explode("fingerprints").alias("_fp"),
     ).select(
         "unique_id",
-        F.concat_ws(":", F.lit("fp"), "lang", F.col("_fp").cast("string")).alias("block_key"),
+        F.xxhash64(F.lit("fp"), "lang", "_fp").alias("block_key"),
     )
 
 
@@ -165,18 +178,19 @@ def apply_block_caps(assignments: DataFrame, cap: int, salt_col: str = "unique_i
     in different sub-blocks for *that key family*; other key families (sha, path,
     other bands) still link them, and CC restores transitivity.
     """
+    from pyspark.sql import types as T
+
     sizes = assignments.groupBy("block_key").agg(F.count("*").alias("_bs"))
     # hash-build on the aggregated (1 row/key) side; SMJ would sort the full
     # exploded assignment stream just to look up a per-key size
     joined = assignments.join(sizes.hint("shuffle_hash"), "block_key")
     n_sub = F.ceil(F.col("_bs") / F.lit(cap)).cast("long")
-    salted = F.when(
-        F.col("_bs") <= cap, F.col("block_key")
-    ).otherwise(
-        F.concat_ws(
-            "#", F.col("block_key"), F.pmod(F.xxhash64(F.col(salt_col)), n_sub).cast("string")
-        )
-    )
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), n_sub)
+    if isinstance(assignments.schema["block_key"].dataType, T.LongType):
+        sub_key = F.xxhash64(F.col("block_key"), salt)  # int64 keys stay int64
+    else:
+        sub_key = F.concat_ws("#", F.col("block_key"), salt.cast("string"))
+    salted = F.when(F.col("_bs") <= cap, F.col("block_key")).otherwise(sub_key)
     return joined.select(F.col("unique_id"), salted.alias("block_key"))
 
 
@@ -410,13 +424,15 @@ def block_assignments(
     """
     cfg = cfg or BlockingConfig()
 
-    parts = [exact_sha_blocks(features, cfg)]
+    # family tag rides as a 1-byte literal column (free per-part constant):
+    # 0=sha (exact; star pairs, never capped), 1=path, 2=mh, 3=fp
+    parts = [exact_sha_blocks(features, cfg).withColumn("_fam", F.lit(0).cast("byte"))]
     if cfg.use_path_tokens:
-        parts.append(path_token_blocks(features))
+        parts.append(path_token_blocks(features).withColumn("_fam", F.lit(1).cast("byte")))
     if cfg.use_minhash:
-        parts.append(minhash_band_blocks(features, cfg))
+        parts.append(minhash_band_blocks(features, cfg).withColumn("_fam", F.lit(2).cast("byte")))
     if cfg.use_fingerprints and "fingerprints" in features.columns:
-        parts.append(fingerprint_blocks(features))
+        parts.append(fingerprint_blocks(features).withColumn("_fam", F.lit(3).cast("byte")))
     asg = parts[0]
     for p in parts[1:]:
         asg = asg.unionByName(p)
@@ -436,37 +452,42 @@ def block_assignments(
     # common_key_max < block_cap, so kept exact-value keys are never salted —
     # the fused CASE is exactly the old sequential semantics.
     sizes = asg.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    joined = asg.join(sizes, "block_key")
-    is_sha = F.col("block_key").startswith("sha:")
-    is_exact_val = F.col("block_key").startswith("path:") | F.col(
-        "block_key"
-    ).startswith("fp:")
+    joined = asg.join(sizes.hint("shuffle_hash"), "block_key")
+    is_sha = F.col("_fam") == 0
+    is_exact_val = F.col("_fam").isin(1, 3)
     if cfg.common_key_max is not None:
         joined = joined.where(~(is_exact_val & (F.col("_bs") > cfg.common_key_max)))
 
     if cfg.oversize_strategy == "split_by_key":
         keep = joined.where(is_sha | (F.col("_bs") <= cfg.block_cap)).select(
-            "unique_id", "block_key"
+            "unique_id", "block_key", is_sha.alias("is_exact")
         )
         over = joined.where(~is_sha & (F.col("_bs") > cfg.block_cap)).select(
-            "unique_id", "block_key"
+            "unique_id", F.col("block_key").cast("string").alias("block_key")
         ).persist()  # consumed by members-distinct, recs join and split sizing
         if persisted is not None:
             persisted.append(over)
         split = _split_oversized_with_fingerprint_evidence(over, features, cfg)
         # recall-preserving split first; salting remains the last-resort bound
-        # on any sub-block a popular secondary key left pathological
-        return keep.unionByName(apply_block_caps(split, cfg.block_cap))
+        # on any sub-block a popular secondary key left pathological.
+        # (The split operator speaks string keys — its {block}+{key} sub-keys
+        # are the reference contract — so re-hash its output back to int64.)
+        capped = apply_block_caps(split, cfg.block_cap).select(
+            "unique_id",
+            F.xxhash64("block_key").alias("block_key"),
+            F.lit(False).alias("is_exact"),
+        )
+        return keep.unionByName(capped)
 
     n_sub = F.ceil(F.col("_bs") / F.lit(cfg.block_cap)).cast("long")
     salted = F.when(
         is_sha | (F.col("_bs") <= cfg.block_cap), F.col("block_key")
     ).otherwise(
-        F.concat_ws(
-            "#", F.col("block_key"), F.pmod(F.xxhash64("unique_id"), n_sub).cast("string")
-        )
+        F.xxhash64(F.col("block_key"), F.pmod(F.xxhash64("unique_id"), n_sub))
     )
-    return joined.select(F.col("unique_id"), salted.alias("block_key"))
+    return joined.select(
+        F.col("unique_id"), salted.alias("block_key"), is_sha.alias("is_exact")
+    )
 
 
 def _split_oversized_with_fingerprint_evidence(

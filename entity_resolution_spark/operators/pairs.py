@@ -49,10 +49,16 @@ def candidate_pairs(assignments: DataFrame, exact_prefix: str = "sha:") -> DataF
     """Union of star pairs (exact blocks) + clique pairs (similarity blocks), distinct.
 
     ``is_exact`` marks pairs that came from an exact-content block — these score 1.0
-    without ever touching the content again.
+    without ever touching the content again. Exact blocks are identified by the
+    ``is_exact`` boolean when ``block_assignments`` provided one (int64-key
+    schema); string-keyed assignments fall back to the ``exact_prefix`` test.
     """
-    exact = assignments.where(F.col("block_key").startswith(exact_prefix))
-    sim = assignments.where(~F.col("block_key").startswith(exact_prefix))
+    if "is_exact" in assignments.columns:
+        exact = assignments.where(F.col("is_exact")).select("unique_id", "block_key")
+        sim = assignments.where(~F.col("is_exact")).select("unique_id", "block_key")
+    else:
+        exact = assignments.where(F.col("block_key").startswith(exact_prefix))
+        sim = assignments.where(~F.col("block_key").startswith(exact_prefix))
     e = star_pairs(exact).withColumn("is_exact", F.lit(True))
     s = clique_pairs(sim).withColumn("is_exact", F.lit(False))
     return (
