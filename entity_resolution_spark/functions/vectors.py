@@ -191,23 +191,29 @@ def tfidf_vectors(
     counted = tf.withColumn(
         "_df", F.count("*").over(Window.partitionBy("_t"))
     )
-    weighted = counted.where(
+    # ship df (low-cardinality int, int32 when n_docs allows) through the doc
+    # exchange instead of the derived double weight — ~20% narrower rows that
+    # compress far better; the idf log/multiply is re-applied after the
+    # exchange, bit-identically (same JVM expression, same integer df)
+    df_narrow = "int" if n_docs < (1 << 31) else "bigint"
+    pre = counted.where(
         (F.col("_df") >= min_df) & (F.col("_df") <= int(max_df_frac * n_docs))
     ).select(
         "_id",
         F.xxhash64("_t").bitwiseAND(F.lit((1 << 31) - 1)).cast("int").alias("_th"),
-        (
-            F.col("_tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0)
-        ).alias("_w"),
+        *([] if terms_distinct else [F.col("_tf")]),
+        F.col("_df").cast(df_narrow).alias("_df"),
     )
+    idf_expr = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0
+    w_expr = idf_expr if terms_distinct else F.col("_tf") * idf_expr
+    weighted = pre.repartition("_id").select("_id", "_th", w_expr.alias("_w"))
     # In-partition Tungsten sort feeding a STREAMING Arrow run-assembler.
     # (The sort-free variant — whole-partition numpy accumulate + np.unique
     # grouping — was measured: it cuts JVM CPU 460→330s on this stage but the
     # JVM tasks then idle on the 16 Python workers and stage wall grows
     # 30.1→35.6s; the sorted stream also keeps worker memory O(batch), which
     # the accumulate variant loses.)
-    stream = weighted.repartition("_id").sortWithinPartitions("_id")
+    stream = weighted.sortWithinPartitions("_id")
     id_field = docs.select(id_col).schema.fields[0]
     out_schema = T.StructType(
         [

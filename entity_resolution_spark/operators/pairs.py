@@ -25,18 +25,23 @@ def star_pairs(assignments: DataFrame) -> DataFrame:
     """(block_key, unique_id) → pairs (min_id, other_id) per block. O(block size)."""
     reps = assignments.groupBy("block_key").agg(F.min("unique_id").alias("id_a"))
     return (
-        assignments.join(reps, "block_key")
+        assignments.join(reps.hint("shuffle_hash"), "block_key")
         .where(F.col("unique_id") != F.col("id_a"))
         .select(F.col("id_a"), F.col("unique_id").alias("id_b"))
     )
 
 
 def clique_pairs(assignments: DataFrame) -> DataFrame:
-    """Full within-block self-join with id_a < id_b."""
+    """Full within-block self-join with id_a < id_b.
+
+    SHUFFLE_HASH: block sizes are capped upstream, so each build partition is
+    bounded; a sort-merge join would Tungsten-sort the full exploded
+    assignment stream twice just to pair within keys.
+    """
     left = assignments.alias("a")
     right = assignments.alias("b")
     return (
-        left.join(right, "block_key")
+        left.join(right.hint("shuffle_hash"), "block_key")
         .where(F.col("a.unique_id") < F.col("b.unique_id"))
         .select(
             F.col("a.unique_id").alias("id_a"),

@@ -20,8 +20,12 @@ def fitted(spark):
         rows.append((f"db{i}", "select insert table index query join".split()))
     for i in range(12):
         rows.append((f"ml{i}", "model train loss gradient epoch tensor".split()))
-    docs = spark.createDataFrame(rows, ["unique_id", "toks"]).repartition(2)
-    cv_model, lda_model = fit_topic_model(docs, "toks", k=2, min_df=2, seed=20)
+    docs = spark.createDataFrame(rows, ["unique_id", "toks"]).repartition(2, "unique_id")
+    # FIT on one partition: online LDA is not partition-order invariant
+    # (operator docstring — the reference's gensim fit is single-process too),
+    # and a 24-doc fit across executor threads flakes on scheduling order.
+    # Inference (topic_features) stays distributed over the 2-partition frame.
+    cv_model, lda_model = fit_topic_model(docs.coalesce(1), "toks", k=2, min_df=2, seed=20)
     return docs, cv_model, lda_model
 
 
