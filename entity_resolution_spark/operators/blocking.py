@@ -436,6 +436,12 @@ def block_assignments(
     asg = parts[0]
     for p in parts[1:]:
         asg = asg.unionByName(p)
+    # The union stacks every family's partitions (4 × source parallelism =
+    # sliver tasks whose launch overhead dominates at high core counts);
+    # narrow-coalesce back to the session's shuffle parallelism so each task
+    # carries one partition per family.
+    n_parts = int(asg.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    asg = asg.coalesce(n_parts)
     # The union feeds one sizing aggregation and one join — persist so the
     # minhash/fingerprint subtrees execute once (Spark plans are trees, not
     # DAGs; at cluster scale this is the stage checkpoint).

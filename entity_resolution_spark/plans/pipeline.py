@@ -205,6 +205,10 @@ def resolve(
         labels = connected_components(
             edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         )
+        # hash-build on the narrow labels/reps sides: the all_ids rows carry
+        # the 64-char string id + sha and would otherwise be Tungsten-sorted
+        # twice; AQE upgrades these to broadcast when the label set is small
+        labels = labels.hint("shuffle_hash")
         all_ids = fi.select("unique_id", "unique_id_str", "lang", "content_sha")
         comp = all_ids.join(labels, all_ids["unique_id"] == labels["id"], "left").select(
             "unique_id_str",
@@ -216,7 +220,7 @@ def resolve(
         # public min-member contract, independent of the int64 surrogates)
         reps = comp.groupBy("_comp").agg(F.min("unique_id_str").alias("cluster_rep"))
         return (
-            comp.join(reps, "_comp")
+            comp.join(reps.hint("shuffle_hash"), "_comp")
             .select(
                 F.col("unique_id_str").alias("unique_id"),
                 "lang",
