@@ -175,6 +175,13 @@ def resolve(
     pairs = stage("candidate_pairs", lambda: candidate_pairs(assignments))
 
     def compute_edges():
+        # The large-block threshold bump needs per-record block sizes — but
+        # with the default geometry (block_cap=200 ≤ large_block_size=400)
+        # every non-exact block is capped BELOW the bump trigger, and exact
+        # (sha) blocks score on the exact feature (weight 20) far above any
+        # bumped threshold. Skip the two extra full-volume aggregations +
+        # join over the assignment fan-out unless the bump is reachable.
+        bump_reachable = cfg.scorer.large_block_size < cfg.blocking.block_cap
         block_sizes = (
             assignments.groupBy("block_key")
             .agg(F.count("*").alias("_n"))
@@ -182,7 +189,7 @@ def resolve(
             .join(assignments, "block_key")  # nothing sorts the exploded side
             .groupBy("unique_id")
             .agg(F.max("_n").alias("block_n"))
-        )
+        ) if bump_reachable else None
         # block_n joins into the per-record feat frame and rides through the
         # scoring kernel; the splitter is a predicate on pair features already
         # computed (same_lang/exact) — the old post-scoring joins re-derived

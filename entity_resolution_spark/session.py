@@ -57,6 +57,11 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 3.3x the 10k default: the Arrow kernels (tokenizer, run-assembler,
+        # pair scorer) amortize per-batch pandas construction; measured -3s
+        # on the 703k-file job at local[16]. Peak per-worker batch memory is
+        # bounded by the widest stage (~3 KB/row tokenizer input ≈ 100 MB).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
