@@ -36,6 +36,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(r"[^a-z0-9_]+")
+# bytes twin: UTF-8 of any non-[a-z0-9_] codepoint never contains [a-z0-9_]
+# bytes (multi-byte sequences are all >= 0x80), so splitting the encoded text
+# yields exactly the per-token UTF-8 of the str split
+_TOKEN_RE_B = re.compile(rb"[^a-z0-9_]+")
 _A = np.uint64(1099511628211)  # FNV-1a prime: polynomial rolling multiplier
 _WIDEN = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant widens crc32
 
@@ -84,7 +88,14 @@ def _code_features_batch(texts: pd.Series, shingle_k: int) -> pd.DataFrame:
             fp_out.append(empty)
             mh_out.append(empty)
             continue
-        toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+        # encode ONCE and split on a bytes regex: token crc32 inputs are the
+        # same UTF-8 bytes as the per-token-encode shape (hash values
+        # unchanged), but the hot loop drops one str.encode per token
+        toks = [
+            t
+            for t in _TOKEN_RE_B.split(text.lower().encode("utf-8", "surrogatepass"))
+            if t
+        ]
         nt_out[i] = len(toks)
         if not toks:
             sh_out.append(empty)
@@ -92,7 +103,7 @@ def _code_features_batch(texts: pd.Series, shingle_k: int) -> pd.DataFrame:
             mh_out.append(empty)
             continue
         crcs = np.fromiter(
-            (zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in toks),
+            map(zlib.crc32, toks),
             np.uint32, len(toks),
         ).astype(np.uint64) * _WIDEN
         shu = np.unique(_poly_windows(crcs, shingle_k))
