@@ -211,13 +211,21 @@ def resolve(
     def compute_clusters():
         labels = connected_components(
             edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        )
-        # hash-build on the narrow labels/reps sides: the all_ids rows carry
-        # the 64-char string id + sha and would otherwise be Tungsten-sorted
-        # twice; AQE upgrades these to broadcast when the label set is small
-        labels = labels.hint("shuffle_hash")
+        ).persist()
+        # The labeling joins probe with rows carrying the 64-char string id +
+        # sha; shuffling those across cores is the one clusters-stage cost
+        # that GROWS with core count (sliver partitions of a small frame).
+        # labels has one row per matched record — when it is broadcast-sized
+        # (it is, whenever CC took the small-graph union-find path), both
+        # joins become map-side and the stage stops anti-scaling. Larger label
+        # sets (true cluster scale) hash-build instead: the probe side
+        # streams, nothing sorts. The count is cheap: CC returns a
+        # materialized frame on the small path, and the loop path's output
+        # is one narrow agg over a checkpointed edge set.
+        broadcastable = labels.count() <= 10_000_000
+        hinted = F.broadcast(labels) if broadcastable else labels.hint("shuffle_hash")
         all_ids = fi.select("unique_id", "unique_id_str", "lang", "content_sha")
-        comp = all_ids.join(labels, all_ids["unique_id"] == labels["id"], "left").select(
+        comp = all_ids.join(hinted, all_ids["unique_id"] == labels["id"], "left").select(
             "unique_id_str",
             "lang",
             "content_sha",
@@ -226,8 +234,9 @@ def resolve(
         # cluster representative stays the MIN STRING id of the component (the
         # public min-member contract, independent of the int64 surrogates)
         reps = comp.groupBy("_comp").agg(F.min("unique_id_str").alias("cluster_rep"))
-        return (
-            comp.join(reps.hint("shuffle_hash"), "_comp")
+        reps = F.broadcast(reps) if broadcastable else reps.hint("shuffle_hash")
+        out = (
+            comp.join(reps, "_comp")
             .select(
                 F.col("unique_id_str").alias("unique_id"),
                 "lang",
@@ -236,6 +245,8 @@ def resolve(
                 F.xxhash64("cluster_rep").alias("cluster_id"),
             )
         )
+        persisted.append(labels)
+        return out
 
     clusters = stage("clusters", compute_clusters)
     return {
