@@ -109,8 +109,16 @@ def tfidf_vectors(
       4× of the gate) or the corpus is clearly stream-sized.
     """
     # contract: id_col is unique per row (the pipeline's unique_id), so a plain
-    # count avoids a full distinct shuffle before the plan even builds
-    n_docs = docs.count()
+    # count avoids a full distinct shuffle before the plan even builds. The
+    # total term-occurrence count rides the SAME aggregate: it upper-bounds the
+    # surviving vocabulary, so most corpora resolve the broadcast-kernel gate
+    # here without the separate full-volume HLL pass (one barrier, not two).
+    _stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.coalesce(F.size(F.col(term_col)), F.lit(0))).alias("_occ"),
+    ).first()
+    n_docs = _stats["_n"]
+    n_occurrences = int(_stats["_occ"] or 0)
     exploded = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.col(term_col)).alias("_t")
     )
@@ -131,18 +139,24 @@ def tfidf_vectors(
             persisted.append(tf)  # caller releases once downstream is materialized
     vocab_filtered = min_df > 1 or max_df_frac < 1.0
     if vocab_filtered:
-        # Gate for the broadcast-kernel fast path. The exact surviving-vocab
-        # census is itself a full map-side-combine shuffle over the term
-        # stream, so probe first with one cheap HLL aggregate (narrow pass
-        # over the cached docs frame, constant-size shuffle): raw-distinct
-        # BOUNDS survival from above only loosely on hapax-heavy corpora, so
-        # a corpus within 4x of the gate still gets the exact census, while a
-        # clearly-over corpus (the 703k-file bench measures 73.6M raw /
-        # 27.6M surviving vs a 4M gate) skips the census entirely — its df
-        # counts come fused into the stream pass below.
-        approx_vocab = tf.agg(
-            F.approx_count_distinct("_t", rsd=0.05).alias("_v")
-        ).first()["_v"]
+        # Gate for the broadcast-kernel fast path, cheapest-evidence-first:
+        # 1. total occurrences (free — it rode the n_docs aggregate) bound the
+        #    raw-distinct vocabulary from above: ≤ 4× the gate means the exact
+        #    census is affordable outright; > 16× (the 703k-file bench measures
+        #    137.9M occurrences vs a 4M gate) means no plausible survival rate
+        #    reaches the gate — stream directly, zero probe passes.
+        # 2. only the band between runs the HLL raw-distinct probe (one
+        #    map-side-combine pass, constant-size shuffle) before committing
+        #    to the exact census — raw distinct bounds survival tighter than
+        #    occurrences on repeat-heavy corpora.
+        if n_occurrences <= 4 * broadcast_vocab_rows:
+            approx_vocab = 0  # census affordable regardless of distribution
+        elif n_occurrences > 16 * broadcast_vocab_rows:
+            approx_vocab = n_occurrences  # clearly stream-sized
+        else:
+            approx_vocab = tf.agg(
+                F.approx_count_distinct("_t", rsd=0.05).alias("_v")
+            ).first()["_v"]
         if approx_vocab <= 4 * broadcast_vocab_rows:
             df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
             if max_df_frac < 1.0:
