@@ -67,6 +67,7 @@ def tfidf_vectors(
     persisted: list | None = None,
     terms_distinct: bool = False,
     broadcast_vocab_rows: int = 4_000_000,
+    mmap_vocab_rows: int = 50_000_000,
 ) -> DataFrame:
     """(id, array terms) → (id, terms array<int>, weights array<float>).
 
@@ -139,25 +140,25 @@ def tfidf_vectors(
             persisted.append(tf)  # caller releases once downstream is materialized
     vocab_filtered = min_df > 1 or max_df_frac < 1.0
     if vocab_filtered:
-        # Gate for the broadcast-kernel fast path, cheapest-evidence-first:
-        # 1. total occurrences (free — it rode the n_docs aggregate) bound the
-        #    raw-distinct vocabulary from above: ≤ 4× the gate means the exact
-        #    census is affordable outright; > 16× (the 703k-file bench measures
-        #    137.9M occurrences vs a 4M gate) means no plausible survival rate
-        #    reaches the gate — stream directly, zero probe passes.
-        # 2. only the band between runs the HLL raw-distinct probe (one
-        #    map-side-combine pass, constant-size shuffle) before committing
-        #    to the exact census — raw distinct bounds survival tighter than
-        #    occurrences on repeat-heavy corpora.
-        if n_occurrences <= 4 * broadcast_vocab_rows:
-            approx_vocab = 0  # census affordable regardless of distribution
-        elif n_occurrences > 16 * broadcast_vocab_rows:
-            approx_vocab = n_occurrences  # clearly stream-sized
+        # Gate for the kernel fast paths, cheapest-evidence-first:
+        # 1. total occurrences (free — they rode the n_docs aggregate) bound
+        #    the surviving vocabulary from above: ≤ 4× the mmap gate means the
+        #    exact census is affordable outright (it replaces the stream
+        #    path's doc re-exchange, so it pays for itself whenever a kernel
+        #    tier results); beyond that,
+        # 2. one HLL raw-distinct probe (map-side-combine pass, constant-size
+        #    shuffle) decides whether the census is still worth running —
+        #    raw distinct bounds survival tighter than occurrences on
+        #    repeat-heavy corpora. Clearly-over corpora stream with zero
+        #    probe passes.
+        if n_occurrences <= 4 * mmap_vocab_rows:
+            run_census = True
         else:
             approx_vocab = tf.agg(
                 F.approx_count_distinct("_t", rsd=0.05).alias("_v")
             ).first()["_v"]
-        if approx_vocab <= 4 * broadcast_vocab_rows:
+            run_census = approx_vocab <= 4 * mmap_vocab_rows
+        if run_census:
             df_ = tf.groupBy("_t").agg(F.count("*").alias("_df"))
             if max_df_frac < 1.0:
                 df_ = df_.where(F.col("_df") <= int(max_df_frac * n_docs))
@@ -169,13 +170,19 @@ def tfidf_vectors(
                     F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0
                 ).alias("_idf"),
             ).persist()
-            small = idf.count() <= broadcast_vocab_rows
-            if small:
+            n_vocab = idf.count()
+            out = None
+            if n_vocab <= broadcast_vocab_rows:
                 out = _assemble_vectors_arrow(
                     docs, id_col, term_col, idf, top_k, terms_distinct
                 )
+            elif n_vocab <= mmap_vocab_rows:
+                out = _assemble_vectors_arrow(
+                    docs, id_col, term_col, idf, top_k, terms_distinct,
+                    via_file=True,
+                )
             idf.unpersist()
-            if small:
+            if out is not None:
                 return out
     # Big-vocab stream path: ONE term-partitioned window count fuses the df
     # census, the min_df/max_df filter, the idf weighting and the int32
@@ -307,41 +314,109 @@ def _xxhash64_long(v: np.ndarray, seed: int = 42) -> np.ndarray:
     return h
 
 
-def _assemble_group_arrays(gids: np.ndarray, th: np.ndarray, w: np.ndarray, k_cap):
+def _assemble_group_flat(gids: np.ndarray, th: np.ndarray, w: np.ndarray, k_cap):
     """The shared per-group assembly core (both physical strategies call it):
     (ascending-grouped int64 group keys, int64 term hashes, float64 weights) →
-    (group keys, list of int32 term arrays, list of float32 weight arrays).
+    (group keys, flat int32 term array, flat float32 weight array, group
+    start offsets) — flat+offsets so the Arrow kernel can build its output
+    ``ListArray`` zero-copy.
 
     Semantics are the engine's canonical ones: top-k by (weight desc, hash
     desc); L2 norm over the top-k INCLUDING any hash-collided duplicate;
     output sorted by (hash asc); equal-hash runs keep the max-weight element.
+
+    The implementation exploits the ascending-group input contract instead of
+    re-establishing it with 3-key lexsorts (measured 15 s per 8.6M-row
+    partition — the bulk of the kernel): the top-k ordering is computed only
+    over rows of groups that actually EXCEED ``k_cap``, and the output
+    ordering packs (group, hash) into one int64 for a single radix-friendly
+    ``argsort`` (0.7 s vs 7.1 s for the lexsort it replaces). Hash-collided
+    duplicate runs (P ≈ k²/2³² per group) are re-ordered locally by weight so
+    keep-last-of-run still selects the max-weight element.
     """
-    o = np.lexsort((-th, -w, gids))
-    g, w, th = gids[o], w[o], th[o]
-    new = np.concatenate(([True], g[1:] != g[:-1]))
+    n = len(gids)
+    if n == 0:
+        return (
+            gids,
+            np.empty(0, np.int32),
+            np.empty(0, np.float32),
+            np.empty(0, np.int64),
+        )
+
+    def _firsts(arr):
+        f = np.empty(len(arr), dtype=bool)
+        f[0] = True
+        np.not_equal(arr[1:], arr[:-1], out=f[1:])
+        return f
+
+    new = _firsts(gids)
     seg_starts = np.nonzero(new)[0]
-    rank = np.arange(len(g)) - seg_starts[np.cumsum(new) - 1]
     if k_cap is not None:
-        keep = rank < k_cap
-        g, w, th = g[keep], w[keep], th[keep]
-        seg_starts = np.nonzero(np.concatenate(([True], g[1:] != g[:-1])))[0]
-    if len(g) == 0:
-        return g, [], []
+        seg_lens = np.diff(np.append(seg_starts, n))
+        if (seg_lens > k_cap).any():
+            # order + rank ONLY the oversized groups' rows
+            in_over = (seg_lens > k_cap)[np.cumsum(new) - 1]
+            idx = np.nonzero(in_over)[0]
+            g_o = gids[idx]
+            o = np.lexsort((-th[idx], -w[idx], g_o))
+            new_o = _firsts(g_o[o])
+            starts_o = np.nonzero(new_o)[0]
+            rank_o = np.arange(len(o)) - starts_o[np.cumsum(new_o) - 1]
+            keep = np.ones(n, dtype=bool)
+            keep[idx[o[rank_o >= k_cap]]] = False
+            gids, th, w = gids[keep], th[keep], w[keep]
+            n = len(gids)
+            if n == 0:
+                return (
+            gids,
+            np.empty(0, np.int32),
+            np.empty(0, np.float32),
+            np.empty(0, np.int64),
+        )
+            new = _firsts(gids)
+            seg_starts = np.nonzero(new)[0]
     norm = np.sqrt(np.add.reduceat(w * w, seg_starts))
 
-    o2 = np.lexsort((w, th, g))
-    g, w, th = g[o2], w[o2], th[o2]
-    last_of_run = np.concatenate(((th[1:] != th[:-1]) | (g[1:] != g[:-1]), [True]))
+    if int(gids[-1]) < (1 << 31):
+        key = (gids << np.int64(31)) | th
+        o2 = np.argsort(key, kind="stable")
+        ks = key[o2]
+        dup = ks[1:] == ks[:-1] if n > 1 else np.zeros(0, dtype=bool)
+        if dup.any():
+            # local fix-up: sort just the duplicate runs by weight (asc) so
+            # the keep-last rule below lands on the max-weight element
+            in_run = np.concatenate(([False], dup)) | np.concatenate((dup, [False]))
+            sub = np.nonzero(in_run)[0]
+            o_sub = np.lexsort((w[o2[sub]], ks[sub]))
+            o2[sub] = o2[sub][o_sub]
+            ks = key[o2]
+        g, w, th = gids[o2], w[o2], th[o2]
+        last_of_run = np.empty(n, dtype=bool)
+        last_of_run[-1] = True
+        np.not_equal(ks[1:], ks[:-1], out=last_of_run[:-1])
+    else:
+        # group ids beyond 31 bits (not reachable from the Arrow kernels,
+        # whose ids are batch-local ordinals): full-precision ordering
+        o2 = np.lexsort((w, th, gids))
+        g, w, th = gids[o2], w[o2], th[o2]
+        last_of_run = np.concatenate(
+            ((th[1:] != th[:-1]) | (g[1:] != g[:-1]), [True])
+        )
     g, w, th = g[last_of_run], w[last_of_run], th[last_of_run]
-    new = np.concatenate(([True], g[1:] != g[:-1]))
+    new = _firsts(g)
     seg_starts = np.nonzero(new)[0]
     wn = (w / norm[np.cumsum(new) - 1]).astype(np.float32)
+    return g[seg_starts], th.astype(np.int32), wn, seg_starts
+
+
+def _assemble_group_arrays(gids: np.ndarray, th: np.ndarray, w: np.ndarray, k_cap):
+    """List-of-arrays view over :func:`_assemble_group_flat` (stream-path /
+    pandas consumers)."""
+    g, th32, wn, seg_starts = _assemble_group_flat(gids, th, w, k_cap)
+    if len(g) == 0:
+        return g, [], []
     bounds = seg_starts[1:]
-    return (
-        g[seg_starts],
-        [a.astype(np.int32) for a in np.split(th, bounds)],
-        list(np.split(wn, bounds)),
-    )
+    return g, np.split(th32, bounds), list(np.split(wn, bounds))
 
 
 def _assemble_vectors_arrow(
@@ -351,24 +426,66 @@ def _assemble_vectors_arrow(
     idf: DataFrame,
     top_k: int | None,
     terms_distinct: bool,
+    via_file: bool = False,
 ) -> DataFrame:
     """Per-doc TF-IDF assembly as one Arrow kernel pass over the docs frame.
 
     The (term → idf) vocabulary ships as two numpy arrays (sorted terms +
-    aligned idf) in a Python broadcast; per batch everything is vectorized:
-    flatten → searchsorted lookup → one 3-key lexsort for the (weight desc,
-    term-hash desc) per-row top-k → segmented norms via reduceat → one more
-    lexsort to the (term-hash asc) output order → consecutive-dup drop. Exactly
-    the shuffle path's semantics: ties, the 31-bit xxhash64 re-hash, norms
-    computed over the top-k INCLUDING any hash-collided duplicate, dedup keeps
-    the max-weight element, docs with zero surviving terms emit no row.
+    aligned idf); per batch everything is vectorized: flatten → searchsorted
+    lookup → one 3-key lexsort for the (weight desc, term-hash desc) per-row
+    top-k → segmented norms via reduceat → one more lexsort to the (term-hash
+    asc) output order → consecutive-dup drop. Exactly the shuffle path's
+    semantics: ties, the 31-bit xxhash64 re-hash, norms computed over the
+    top-k INCLUDING any hash-collided duplicate, dedup keeps the max-weight
+    element, docs with zero surviving terms emit no row.
+
+    Vocab transport (two tiers, identical kernel semantics):
+
+    - ``via_file=False``: a Python broadcast of the two arrays — right up to a
+      few million terms.
+    - ``via_file=True``: the arrays are saved as ONE ``(2, n)`` int64 ``.npy``
+      (idf doubles bit-punned into row 1) and shipped with
+      ``sparkContext.addFile``; every worker ``np.load(..., mmap_mode="r")``s
+      it, so a host's workers share the pages through the OS page cache —
+      one decode-free load per HOST, not per worker (a parquet-side-table
+      variant measured 3× worse precisely because each worker re-decoded it,
+      PLANS.md round-3). This tier replaces the stream path's doc re-exchange
+      + in-partition sort — the measured 2.6× CPU-inflation stage at 16
+      cores — for vocabularies up to ``mmap_vocab_rows`` (50M ≈ 800 MB, far
+      beyond any driver broadcast, still trivial for an executor host).
+      True-100TB vocabularies (10^9+ terms) stay on the stream path.
     """
     spark = docs.sparkSession
-    vocab_pd = idf.toArrow().to_pandas()
+    vocab_pd = idf.orderBy("_t").toArrow().to_pandas()
     vt = vocab_pd["_t"].to_numpy(dtype=np.int64)
     vi = vocab_pd["_idf"].to_numpy(dtype=np.float64)
-    order = np.argsort(vt, kind="mergesort")
-    bc = spark.sparkContext.broadcast((vt[order], vi[order]))
+    if len(vt) > 1 and not (np.diff(vt) > 0).all():
+        order = np.argsort(vt, kind="mergesort")
+        vt, vi = vt[order], vi[order]
+    if via_file:
+        import os
+        import tempfile
+        import uuid
+
+        # stage the artifact where the session keeps shuffle/scratch data
+        # (/dev/shm in local mode — np.save to rotating disk measured 16s for
+        # a 440 MB vocab; to shm it is a memcpy), falling back to the system
+        # tmpdir when no local dir is configured
+        base = (
+            spark.conf.get("spark.local.dir", None) or tempfile.gettempdir()
+        ).split(",")[0]
+        fname = f"tfidf_vocab_{uuid.uuid4().hex}.npy"
+        try:
+            os.makedirs(base, exist_ok=True)
+            path = os.path.join(base, fname)
+            np.save(path, np.stack([vt, vi.view(np.int64)]))
+        except OSError:
+            path = os.path.join(tempfile.gettempdir(), fname)
+            np.save(path, np.stack([vt, vi.view(np.int64)]))
+        spark.sparkContext.addFile(path)
+        vocab_src = ("file", fname)
+    else:
+        vocab_src = ("bc", spark.sparkContext.broadcast((vt, vi)))
     k_cap = top_k
 
     id_field = docs.select(id_col).schema.fields[0]
@@ -381,22 +498,36 @@ def _assemble_vectors_arrow(
     )
 
     def kernel(batches):
+        # mapInArrow, not mapInPandas: the input list column flattens to its
+        # raw values/offsets buffers with no per-row Python, and the output
+        # ListArrays are built from flat values + offsets the same way — the
+        # pandas route paid one ndarray box per row on BOTH sides
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         np.seterr(over="ignore")  # uint64 hash arithmetic wraps by design
-        vterms, vidf = bc.value
+        kind, payload = vocab_src
+        if kind == "bc":
+            vterms, vidf = payload.value
+        else:
+            from pyspark import SparkFiles
+
+            packed = np.load(SparkFiles.get(payload), mmap_mode="r")
+            vterms = packed[0]          # memmap: binary-searched in place —
+            vidf = packed[1]            # pages shared host-wide, never copied
         if len(vterms) == 0:
             return  # nothing survives min_df/max_df → no vectors at all
-        for pdf in batches:
-            vals = pdf[term_col].to_numpy()
-            lens = np.fromiter(
-                (0 if v is None else len(v) for v in vals),
-                dtype=np.int64, count=len(vals),
+        for batch in batches:
+            name_idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            tarr = batch.column(name_idx[term_col])
+            lens = pc.fill_null(pc.list_value_length(tarr), 0).to_numpy(
+                zero_copy_only=False
             )
             if lens.sum() == 0:
                 continue
-            flat = np.concatenate(
-                [np.asarray(v, dtype=np.int64) for v in vals if v is not None and len(v)]
-            )
-            rows = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+            flat = pc.list_flatten(tarr).to_numpy(zero_copy_only=False)
+            flat = flat.astype(np.int64, copy=False)
+            rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
             if not terms_distinct:
                 # per (row, term) tf via sort + run-length (the shuffle path's
                 # groupBy(_id, _t) count)
@@ -411,25 +542,57 @@ def _assemble_vectors_arrow(
                 rows, flat = rows[starts], flat[starts]
             else:
                 tf = None
-            pos = np.searchsorted(vterms, flat)
-            pos[pos >= len(vterms)] = 0
-            found = vterms[pos] == flat
-            rows, flat, pos = rows[found], flat[found], pos[found]
-            w = vidf[pos] if tf is None else vidf[pos] * tf[found]
+            nq = len(flat)
+            if len(vterms) >= (1 << 21) and nq > 1:
+                # big vocab: random binary searches miss cache on every probe
+                # (measured 15 s per 8.6M queries into a 220 MB array); sorting
+                # the queries first makes both the probe walk and the value
+                # gathers sequential — 15 s → ~4 s including the query sort
+                oq = np.argsort(flat)
+                fq = flat[oq]
+                pos_s = np.searchsorted(vterms, fq)
+                pos_s[pos_s >= len(vterms)] = 0
+                found_s = np.asarray(vterms[pos_s] == fq)
+                idf_s = np.asarray(vidf[pos_s])
+                if idf_s.dtype == np.int64:  # file tier bit-puns idf in int64
+                    idf_s = idf_s.view(np.float64)
+                found = np.empty(nq, dtype=bool)
+                found[oq] = found_s
+                idf_all = np.empty(nq, dtype=np.float64)
+                idf_all[oq] = idf_s
+                rows, flat = rows[found], flat[found]
+                idf_hit = idf_all[found]
+            else:
+                pos = np.searchsorted(vterms, flat)
+                pos[pos >= len(vterms)] = 0
+                found = np.asarray(vterms[pos] == flat)
+                rows, flat, pos = rows[found], flat[found], pos[found]
+                # fancy indexing materializes ONLY the hit rows off the memmap;
+                # the file tier stores idf doubles bit-punned in int64 — re-view
+                idf_hit = np.asarray(vidf[pos])
+                if idf_hit.dtype == np.int64:
+                    idf_hit = idf_hit.view(np.float64)
+            w = idf_hit if tf is None else idf_hit * tf[found]
             th = (_xxhash64_long(flat) & np.uint64(0x7FFFFFFF)).astype(np.int64)
 
-            out_rows, terms, weights = _assemble_group_arrays(rows, th, w, k_cap)
+            out_rows, th32, wn, seg_starts = _assemble_group_flat(
+                rows, th, w, k_cap
+            )
             if len(out_rows) == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[out_rows],
-                    "terms": terms,
-                    "weights": weights,
-                }
+            offsets = pa.array(
+                np.append(seg_starts, len(th32)).astype(np.int32), pa.int32()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(name_idx[id_col]).take(pa.array(out_rows)),
+                    pa.ListArray.from_arrays(offsets, pa.array(th32, pa.int32())),
+                    pa.ListArray.from_arrays(offsets, pa.array(wn, pa.float32())),
+                ],
+                names=[id_col, "terms", "weights"],
             )
 
-    return docs.select(id_col, term_col).mapInPandas(kernel, out_schema)
+    return docs.select(id_col, term_col).mapInArrow(kernel, out_schema)
 
 
 def _explode_batch(ts: pd.Series, ws: pd.Series):

@@ -170,9 +170,10 @@ def test_typed_feature_tokens_features_text_vectorisation(spark):
 
 
 def test_tfidf_physical_strategy_parity(spark):
-    """The three physical strategies — broadcast kernel, fused term-stream
-    kernel, census+join (string fallback) — must emit bit-identical vectors:
-    same int32 term ids, same float32 weights, same tie/dedup handling."""
+    """The physical strategies — broadcast kernel, mmap-file kernel, fused
+    term-stream kernel, tf-aggregation fallback — must emit bit-identical
+    vectors: same int32 term ids, same float32 weights, same tie/dedup
+    handling."""
     import random
 
     rng = random.Random(7)
@@ -196,11 +197,20 @@ def test_tfidf_physical_strategy_parity(spark):
             terms_distinct=True, broadcast_vocab_rows=10**9,
         )
     )
-    # gate forced shut -> fused term-stream kernel
-    fused = snap(
+    # broadcast gate shut, mmap gate open -> file-backed (addFile/memmap) kernel
+    mmapped = snap(
         tfidf_vectors(
             docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
             terms_distinct=True, broadcast_vocab_rows=0,
+            mmap_vocab_rows=10**9,
+        )
+    )
+    assert bcast == mmapped
+    # both kernel gates shut -> fused term-stream kernel
+    fused = snap(
+        tfidf_vectors(
+            docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
+            terms_distinct=True, broadcast_vocab_rows=0, mmap_vocab_rows=0,
         )
     )
     assert bcast == fused
@@ -209,7 +219,7 @@ def test_tfidf_physical_strategy_parity(spark):
     tf_path = snap(
         tfidf_vectors(
             docs, "unique_id", "toks", min_df=2, max_df_frac=0.9, top_k=16,
-            terms_distinct=False, broadcast_vocab_rows=0,
+            terms_distinct=False, broadcast_vocab_rows=0, mmap_vocab_rows=0,
         )
     )
     assert bcast == tf_path
