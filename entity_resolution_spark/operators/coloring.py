@@ -94,11 +94,15 @@ def colour_negative_edges_split(
     """
     from entity_resolution_spark.operators.components import connected_components
 
+    # pe is consumed twice (CC seed + the pos_rows re-probe) and the upstream
+    # edge producer may be expensive (a PPJoin, a scorer); an eager
+    # localCheckpoint materializes it once — ContextCleaner-reclaimed, same
+    # convention as dedup.jaccard_pairs' base
     pe = pos_edges.select(
         F.col(id_a).cast("string").alias("id_a"),
         F.col(id_b).cast("string").alias("id_b"),
         F.col(weight_col).cast("double").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     # labels is consumed by four joins below; persist and hand the frame to the
     # caller's release list (engine convention — see pipeline.release())
     labels = connected_components(pe, "id_a", "id_b").withColumnRenamed(
@@ -121,9 +125,14 @@ def colour_negative_edges_split(
         # cross-component negatives are already satisfied
         .where(F.col("_comp") == F.col("_comp_b"))
         .select("id_a", "id_b", "_comp")
+        # consumed by bad_comps (itself probed three times) and neg_rows —
+        # without this, the negative-edge producer re-runs once per consumer
+        .localCheckpoint(eager=True)
     )
 
-    bad_comps = ne.select("_comp").distinct()
+    # dirty components are few (post-threshold components with internal
+    # negative evidence); broadcast the semi-join key set to every probe
+    bad_comps = F.broadcast(ne.select("_comp").distinct())
     clean = labels.join(bad_comps, "_comp", "left_anti").select(
         F.col("id").alias("unique_id"), F.col("_comp").alias("cluster_id")
     )

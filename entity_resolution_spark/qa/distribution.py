@@ -109,6 +109,10 @@ def check_acceptance_distribution(
     Reference quality_metrics.py:344-365. Input: (unique_id, blocking_key,
     cluster_id, ground_truth).
     """
+    # every run re-reads the same cluster table; materialize it once so the
+    # (possibly expensive) upstream resolve/join subtree doesn't re-execute
+    # number_of_runs times (ContextCleaner reclaims the checkpoint blocks)
+    clusters = clusters.localCheckpoint(eager=True)
     out = _run_scores(clusters, 0, sampling_rate)
     for r in range(1, number_of_runs):
         out = out.unionByName(_run_scores(clusters, r, sampling_rate))
