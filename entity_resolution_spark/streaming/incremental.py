@@ -176,3 +176,120 @@ def match_new_records_foreach_batch(
         )
 
     return _body
+
+
+def stream_incremental_assign(
+    records: DataFrame,
+    vec_col: str,
+    block_col: str = "blocking_key",
+    id_col: str = "unique_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """TRUE online clustering as a stateful streaming operator
+    (``applyInPandasWithState``): per-block state carries the live cluster
+    exemplars across micro-batches, so a record arriving hours after its
+    cluster was founded still joins it — without re-reading any table.
+
+    Semantics are the reference centroid walk
+    (``am_combiner/combiners/incremental_clustering.py:163-210``), the same
+    arithmetic as the batch ``incremental_cluster_blocks(strategy="centroid")``:
+    a record joins the argmax-cosine centroid iff cosine > 0 and ≥ threshold
+    (first-max ⇒ earliest cluster wins ties), else founds a new cluster; the
+    joined centroid becomes the running mean. ``cluster_id`` = founding
+    record's id. Scan order: within a micro-batch, ascending record id
+    (deterministic); across batches, arrival order — the online contract.
+    When everything arrives in one batch the labels equal the batch
+    operator's (parity-tested).
+
+    Scale shape: state is O(clusters·d) per block (founder id + centroid +
+    count — NOT the pairwise variant's O(members·d), which is why only the
+    centroid strategy is offered online), partitioned by block key across
+    executors by the state store; each micro-batch group does one numpy
+    matmul per arriving record. Use the batch operator for replays/backfills.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("unique_id", T.StringType()),
+            T.StructField(block_col, T.StringType()),
+            T.StructField("cluster_id", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("founders", T.ArrayType(T.StringType())),
+            T.StructField("centroids", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def assign(key, pdf_iter, state: GroupState):
+        if state.exists:
+            founders_t, cents_t, counts_t = state.get
+            founders = list(founders_t)
+            centroids = np.asarray([list(c) for c in cents_t], dtype=np.float64)
+            counts = np.asarray(list(counts_t), dtype=np.int64)
+        else:
+            founders, centroids, counts = [], None, np.zeros(0, np.int64)
+        outs = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("_id", kind="mergesort")
+            x = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
+            ids = pdf["_id"].to_numpy()
+            labels = []
+            for i in range(len(ids)):
+                xi = x[i]
+                xn = np.linalg.norm(xi)
+                xs = 1.0 if xn == 0 else xn
+                if founders:
+                    cn = np.linalg.norm(centroids, axis=1)
+                    cn = np.where(cn == 0, 1.0, cn)
+                    s = (centroids @ xi) / (cn * xs)
+                    best_c = int(np.argmax(s))  # first max = earliest cluster
+                    best = s[best_c]
+                    # strictly > 0: reference starts at 0.0 with none selected
+                    if best > 0.0 and best >= threshold:
+                        labels.append(founders[best_c])
+                        centroids[best_c] = (
+                            centroids[best_c] * counts[best_c] + xi
+                        ) / (counts[best_c] + 1)
+                        counts[best_c] += 1
+                        continue
+                labels.append(ids[i])
+                founders.append(ids[i])
+                centroids = (
+                    xi[None, :]
+                    if centroids is None or not len(founders) - 1
+                    else np.vstack([centroids, xi[None, :]])
+                )
+                counts = np.append(counts, 1)
+            outs.append(
+                pd.DataFrame(
+                    {"unique_id": ids, block_col: key[0], "cluster_id": labels}
+                )
+            )
+        if founders:
+            state.update(
+                (
+                    founders,
+                    [list(map(float, c)) for c in centroids],
+                    [int(c) for c in counts],
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    base = records.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(block_col).cast("string").alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    return base.groupBy("_blk").applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -127,3 +127,100 @@ def test_incremental_match_joins_prior_batch_entity(spark, tmp_path):
     out = spark.read.parquet(output_path)
     assert out.where(F.col("epoch") == 0).count() == 2
     assert out.where(F.col("epoch") == 1).count() == 1
+
+
+def test_stream_incremental_assign_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries cluster exemplars across micro-batches:
+    a record arriving in batch 2 joins the cluster FOUNDED in batch 1 (same
+    centroid walk as the reference, incremental_clustering.py:163-210)."""
+    import os
+    import time
+
+    from entity_resolution_spark.streaming.incremental import (
+        stream_incremental_assign,
+    )
+
+    src = tmp_path / "vec_landing"
+    src.mkdir()
+    schema = "unique_id string, blocking_key string, vec array<double>"
+    b1 = spark.createDataFrame(
+        [("a1", "b", [1.0, 0.0]), ("a2", "b", [0.99, 0.1])], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    b2 = spark.createDataFrame(
+        [("a3", "b", [1.0, 0.05]), ("d1", "b", [0.0, 1.0])], schema
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    now = time.time()
+    os.utime(str(src / "f1"), (now - 60, now - 60))
+    os.utime(str(src / "f2"), (now, now))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    out = stream_incremental_assign(stream, "vec", threshold=0.9)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_assign")
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["unique_id"]: r["cluster_id"]
+        for r in spark.sql("select * from inc_assign").collect()
+    }
+    assert got == {"a1": "a1", "a2": "a1", "a3": "a1", "d1": "d1"}, got
+
+
+def test_stream_incremental_assign_single_batch_parity(spark, tmp_path):
+    """When everything arrives in one micro-batch, the streaming operator's
+    labels equal the batch centroid combiner's (same kernel arithmetic)."""
+    from entity_resolution_spark.operators.incremental_combiner import (
+        incremental_cluster_blocks,
+    )
+    from entity_resolution_spark.streaming.incremental import (
+        stream_incremental_assign,
+    )
+
+    schema = "unique_id string, blocking_key string, vec array<double>"
+    rows = [
+        ("a1", "b", [1.0, 0.0, 0.0]),
+        ("a2", "b", [0.9, 0.1, 0.0]),
+        ("a3", "b", [0.0, 1.0, 0.0]),
+        ("a4", "b", [0.1, 0.9, 0.1]),
+        ("a5", "c", [0.5, 0.5, 0.0]),
+        ("a6", "c", [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    want = {
+        (r["unique_id"], r["cluster_id"])
+        for r in incremental_cluster_blocks(
+            df, "vec", threshold=0.8, strategy="centroid"
+        ).collect()
+    }
+
+    src = tmp_path / "vec_one"
+    src.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = stream_incremental_assign(stream, "vec", threshold=0.8)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_parity")
+        .option("checkpointLocation", str(tmp_path / "ck_par"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["unique_id"], r["cluster_id"])
+        for r in spark.sql("select * from inc_parity").collect()
+    }
+    assert got == want, (got, want)
