@@ -59,6 +59,14 @@ class PipelineConfig:
     # (sweep None/256/128 → 1.0, 64 → 0.9927, 32 → 0.9468; tools/debug_recall.py).
     tfidf_top_k: int | None = 128
     use_splitter: bool = True        # negative-evidence: lang mismatch breaks edges
+    # Drop candidate pairs whose two sides are byte-identical duplicates —
+    # the exact family's star already carries their connectivity, so the wide
+    # vector probe + scorer pass over them is pure redundancy. The dup map
+    # costs one narrow groupBy and is sized by the actual duplicate
+    # population (empty ⇒ the filter joins are no-ops), so duplicate-free
+    # corpora pay ~nothing and a boilerplate-heavy web corpus saves O(n·cap)
+    # wide rows per n-copy family (pairs.drop_sha_covered_pairs).
+    dedup_covered_pairs: bool = True
     # Submit the vectors and assignments stages from two driver threads. The
     # two subtrees are independent (both read only `features`); each runs
     # build-time driver actions — the TF-IDF vocab census collect+save and the
@@ -194,7 +202,15 @@ def resolve(
     else:
         vectors = stage("vectors", vec_fn)
         assignments = stage("assignments", asg_fn)
-    pairs = stage("candidate_pairs", lambda: candidate_pairs(assignments))
+    def compute_pairs():
+        p = candidate_pairs(assignments)
+        if cfg.dedup_covered_pairs:
+            from entity_resolution_spark.operators.pairs import drop_sha_covered_pairs
+
+            p = drop_sha_covered_pairs(p, fi)
+        return p
+
+    pairs = stage("candidate_pairs", compute_pairs)
 
     def compute_edges():
         # The large-block threshold bump needs per-record block sizes — but

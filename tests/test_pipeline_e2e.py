@@ -55,3 +55,40 @@ def test_all_exact_duplicates_cluster_together(spark, resolved):
         .count()
     )
     assert violations == 0
+
+
+def test_boilerplate_family_emits_linear_pairs(spark):
+    """A 300-copy byte-identical family (the web-corpus boilerplate shape) must
+    resolve to ONE cluster with O(n) candidate pairs — the exact star carries
+    the family; sha-covered clique pairs from the path/band/fingerprint
+    families are dropped before the wide probe (pairs.drop_sha_covered_pairs)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, release, resolve
+
+    boiler = "mit license permission is hereby granted free of charge " * 5
+    rows = [
+        (f"repo{i % 5}", f"src/pkg{i}/boiler_{i}.py", "c0", "python", boiler)
+        for i in range(300)
+    ] + [
+        ("r", f"lib/mod_{j}.py", "c0", "python", f"def unique_fn_{j}(): return {j}")
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = resolve(spark, df, PipelineConfig())
+    n_pairs = out["pairs"].count()
+    boiler_sha = out["clusters"].groupBy("content_sha").count().where("count > 1")
+    fam = (
+        out["clusters"]
+        .join(boiler_sha.select("content_sha"), "content_sha", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    release(out)
+    assert fam == 1                      # whole family is one cluster
+    assert n_clusters == 21              # 1 family + 20 singletons
+    assert n_pairs < 300 * 4, n_pairs    # linear in family size, not n^2/cap
