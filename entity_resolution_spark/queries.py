@@ -922,11 +922,18 @@ def q_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_colour_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColourNegativeEdgesSplitter (splitters/common.py:130-178): positive
     jaccard-pair components recoloured under n_chars-distance negative edges.
-    Greedy colouring — rows-only; reference goldens in tests/test_coloring.py."""
+    Greedy colouring — rows-only; reference goldens in tests/test_coloring.py.
+
+    Parameters make the dirty path REAL: distinct-token jaccard ignores
+    repetition, so char-length negatives (distance 200) fire inside
+    high-jaccard clone components (measured: 5 dirty components at both
+    sf0.01 and sf0.1). Subset like the other iterative demos (the splitter
+    is a post-match operator; full-corpus jaccard scaling is benched by
+    ``jaccard_pairs_docs``/``cc_jaccard_docs``)."""
     from entity_resolution_spark.operators.coloring import colour_negative_edges_split
 
-    d = _t(spark, sf_dir, "documents")
-    pos = jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, ngram=1).select(
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pos = jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.7, ngram=1).select(
         "id_a", "id_b", F.col("jaccard").alias("score")
     )
     neg = negative_edges_numeric_distance(
@@ -935,7 +942,7 @@ def q_colour_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("n_chars").cast("double")).alias("v"),
             "lang",
         ),
-        "v", distance=2000.0, block_col="lang",
+        "v", distance=200.0, block_col="lang",
     )
     return colour_negative_edges_split(pos, neg).orderBy("unique_id")
 
