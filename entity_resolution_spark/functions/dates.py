@@ -82,7 +82,9 @@ def extract_dates(text: Column) -> Column:
     """
     iso = _family(
         text,
-        r"(?:1[89]|20)\d{2}-\d{2}-\d{2}",
+        # digit-boundary guards: an id/serial like "12021-03-05" or
+        # "2021-03-055" must not shed a bogus validated day mention
+        r"(?<!\d)(?:1[89]|20)\d{2}-\d{2}-\d{2}(?!\d)",
         lambda s: _mk(
             F.substring(s, 1, 4), F.substring(s, 6, 2), F.substring(s, 9, 2),
             s, "day",
@@ -135,14 +137,14 @@ def extract_dates(text: Column) -> Column:
     )
 
     day_hits = F.concat(iso, slash, mdy, dmy)
-    # a month-year mention is kept only if its text is not inside a day hit
+    # a month-year mention is kept only if its text is not inside a day hit —
+    # CONTAINMENT only: a standalone "March 2021" elsewhere in the text is a
+    # genuine month mention even when "March 5, 2021" also appears (the
+    # reference emits one mention per spaCy DATE entity)
     my_kept = F.filter(
         my,
         lambda m: ~F.exists(
-            day_hits, lambda d: d["text"].contains(m["text"]) | (
-                (d["year"] == m["year"]) & (d["month"] == m["month"])
-                & d["text"].contains(F.regexp_extract(m["text"], _MON_RE, 1))
-            )
+            day_hits, lambda d: d["text"].contains(m["text"])
         ),
     )
     month_plus = F.concat(day_hits, my_kept)

@@ -139,7 +139,18 @@ def tfidf_vectors(
         if persisted is not None:
             persisted.append(tf)  # caller releases once downstream is materialized
     vocab_filtered = min_df > 1 or max_df_frac < 1.0
-    if vocab_filtered:
+    # The Arrow kernel tiers ship the vocabulary as int64 numpy arrays and
+    # re-derive the int32 term ids with a bit-exact numpy replica of Spark's
+    # xxhash64 over ONE little-endian long (_xxhash64_long) — both only valid
+    # when the term elements are 8-byte longs (the tokenizer's hashed
+    # shingles). String terms (e.g. typed_feature_tokens' FAMILY-value
+    # tokens) or narrower ints must take the stream path, whose JVM
+    # F.xxhash64 handles any type.
+    term_elem = docs.select(term_col).schema.fields[0].dataType
+    kernel_eligible = isinstance(
+        getattr(term_elem, "elementType", None), T.LongType
+    )
+    if vocab_filtered and kernel_eligible:
         # Gate for the kernel fast paths, cheapest-evidence-first:
         # 1. total occurrences (free — they rode the n_docs aggregate) bound
         #    the surviving vocabulary from above: ≤ 4× the mmap gate means the
@@ -179,7 +190,7 @@ def tfidf_vectors(
             elif n_vocab <= mmap_vocab_rows:
                 out = _assemble_vectors_arrow(
                     docs, id_col, term_col, idf, top_k, terms_distinct,
-                    via_file=True,
+                    via_file=True, persisted=persisted,
                 )
             idf.unpersist()
             if out is not None:
@@ -419,6 +430,29 @@ def _assemble_group_arrays(gids: np.ndarray, th: np.ndarray, w: np.ndarray, k_ca
     return g, np.split(th32, bounds), list(np.split(wn, bounds))
 
 
+class _StagedVocabFile:
+    """Deferred cleanup for the mmap tier's staged ``.npy``: quacks like a
+    persisted frame so it can ride the engine's ``persisted``/``release()``
+    convention (``pipeline.release`` calls ``unpersist()`` on every entry).
+    Executors verify the SOURCE file on their first fetch (Spark's
+    ``updateDependencies`` re-reads it), so it cannot be deleted at stage time
+    — only once downstream is materialized. An ``atexit`` hook bounds the leak
+    to the interpreter's lifetime for callers that never release."""
+
+    def __init__(self, path: str):
+        import atexit
+
+        self.path = path
+        atexit.register(self.unpersist)
+
+    def unpersist(self, blocking: bool = False):
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.remove(self.path)
+
+
 def _assemble_vectors_arrow(
     docs: DataFrame,
     id_col: str,
@@ -427,6 +461,7 @@ def _assemble_vectors_arrow(
     top_k: int | None,
     terms_distinct: bool,
     via_file: bool = False,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Per-doc TF-IDF assembly as one Arrow kernel pass over the docs frame.
 
@@ -483,6 +518,9 @@ def _assemble_vectors_arrow(
             path = os.path.join(tempfile.gettempdir(), fname)
             np.save(path, np.stack([vt, vi.view(np.int64)]))
         spark.sparkContext.addFile(path)
+        staged = _StagedVocabFile(path)
+        if persisted is not None:
+            persisted.append(staged)  # removed by pipeline.release()
         vocab_src = ("file", fname)
     else:
         vocab_src = ("bc", spark.sparkContext.broadcast((vt, vi)))

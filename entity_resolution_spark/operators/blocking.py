@@ -471,9 +471,11 @@ def block_assignments(
         over = joined.where(~is_sha & (F.col("_bs") > cfg.block_cap)).select(
             "unique_id", F.col("block_key").cast("string").alias("block_key")
         ).persist()  # consumed by members-distinct, recs join and split sizing
-        if persisted is not None:
-            persisted.append(over)
         split = _split_oversized_with_fingerprint_evidence(over, features, cfg)
+        # the split output is ALREADY materialized (eager localCheckpoint in
+        # split_oversized_blocks_by_key), so over's consumers have all run —
+        # release here rather than leaking it when no persisted list is passed
+        over.unpersist()
         # recall-preserving split first; salting remains the last-resort bound
         # on any sub-block a popular secondary key left pathological.
         # (The split operator speaks string keys — its {block}+{key} sub-keys

@@ -146,8 +146,12 @@ def gcn_resolve(
     from entity_resolution_spark.operators.adjacency import feature_intersection_edges
     from entity_resolution_spark.operators.components import connected_components
 
-    first = records.select(F.size(F.col(node_feat_col).cast("array<double>")).alias("d")).first()
-    if first is None:
+    # deterministic feature width: max size over NON-NULL rows (a .first()
+    # would be partition-order-dependent and yields -1 on a null feature row)
+    first = records.agg(
+        F.max(F.size(F.col(node_feat_col).cast("array<double>"))).alias("d")
+    ).first()
+    if first is None or first["d"] is None or first["d"] <= 0:
         return records.select(
             F.col(id_col).cast("string").alias(id_col),
             F.lit(None).cast("string").alias("cluster_id"),
@@ -159,7 +163,11 @@ def gcn_resolve(
     edges = feature_intersection_edges(records, feature_cols, id_col=id_col)
     emb = sage_layer(
         edges,
-        records.select(F.col(id_col).alias("id"), F.col(node_feat_col).alias("features")),
+        # null-featured records get no embedding (and so coalesce to singleton
+        # clusters below) instead of crashing the numpy reshape in the kernel
+        records.where(F.col(node_feat_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(node_feat_col).alias("features")
+        ),
         weights["w_self"],
         weights["w_neigh"],
     ).persist()

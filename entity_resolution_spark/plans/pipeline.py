@@ -134,6 +134,45 @@ def extract_features(
     )
 
 
+def bump_block_sizes(assignments: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    """Per-record ``block_n`` for the large-block threshold bump (reference's
+    +0.02-over-400 anti-overcombination guard) — sized only as far as blocks
+    can actually exceed ``large_block_size``:
+
+    - capped families are bounded by ``block_cap``, so when
+      ``large_block_size >= block_cap`` they can never trigger the bump and
+      the full-volume sizing pass over the assignment fan-out is skipped;
+    - exact (sha) blocks are NEVER capped (their pairs are stars), so they can
+      exceed the trigger under ANY geometry: size just those (one assignment
+      row per record) and keep only the over-threshold families — on real
+      corpora this frame is empty-or-tiny (a single content sha with more
+      than ``large_block_size`` byte-identical copies), so the downstream
+      feat join builds against a broadcast-sized side. A 500-copy boilerplate
+      family therefore still bumps its members' MIXED pairs against
+      near-variant files, which the geometry shortcut alone would miss.
+    """
+    if cfg.scorer.large_block_size < cfg.blocking.block_cap:
+        return (
+            assignments.groupBy("block_key")
+            .agg(F.count("*").alias("_n"))
+            .hint("shuffle_hash")   # build on the aggregated (1 row/key) side;
+            .join(assignments, "block_key")  # nothing sorts the exploded side
+            .groupBy("unique_id")
+            .agg(F.max("_n").alias("block_n"))
+        )
+    ex = assignments.where(F.col("is_exact")).select("unique_id", "block_key")
+    big = (
+        ex.groupBy("block_key")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cfg.scorer.large_block_size)
+    )
+    return (
+        ex.join(F.broadcast(big), "block_key")
+        .groupBy("unique_id")
+        .agg(F.max("_n").alias("block_n"))
+    )
+
+
 def resolve(
     spark,
     repo_files: DataFrame,
@@ -213,21 +252,7 @@ def resolve(
     pairs = stage("candidate_pairs", compute_pairs)
 
     def compute_edges():
-        # The large-block threshold bump needs per-record block sizes — but
-        # with the default geometry (block_cap=200 ≤ large_block_size=400)
-        # every non-exact block is capped BELOW the bump trigger, and exact
-        # (sha) blocks score on the exact feature (weight 20) far above any
-        # bumped threshold. Skip the two extra full-volume aggregations +
-        # join over the assignment fan-out unless the bump is reachable.
-        bump_reachable = cfg.scorer.large_block_size < cfg.blocking.block_cap
-        block_sizes = (
-            assignments.groupBy("block_key")
-            .agg(F.count("*").alias("_n"))
-            .hint("shuffle_hash")   # build on the aggregated (1 row/key) side;
-            .join(assignments, "block_key")  # nothing sorts the exploded side
-            .groupBy("unique_id")
-            .agg(F.max("_n").alias("block_n"))
-        ) if bump_reachable else None
+        block_sizes = bump_block_sizes(assignments, cfg)
         # block_n joins into the per-record feat frame and rides through the
         # scoring kernel; the splitter is a predicate on pair features already
         # computed (same_lang/exact) — the old post-scoring joins re-derived

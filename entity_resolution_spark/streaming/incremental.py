@@ -161,8 +161,14 @@ def match_new_records_foreach_batch(
         # so no failure mode can destroy the last good table
         next_dir = os.path.join(existing_clusters_path, f"v-{prior_ver + 1}")
         snap.write.mode("overwrite").parquet(next_dir)
+        # retention keeps the IMMEDIATELY-PRIOR version too: a concurrent
+        # reader that resolved v-N via latest_snapshot() just before v-N+1
+        # landed must finish its scan; v-N is pruned only on the v-N+2 write
         for d in os.listdir(existing_clusters_path):
-            if d.startswith("v-") and d != f"v-{prior_ver + 1}":
+            if (
+                d.startswith("v-")
+                and d not in (f"v-{prior_ver + 1}", f"v-{prior_ver}")
+            ):
                 shutil.rmtree(
                     os.path.join(existing_clusters_path, d), ignore_errors=True
                 )

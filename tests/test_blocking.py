@@ -255,3 +255,24 @@ def test_oversize_split_by_key_recall_vs_salting(spark):
     assert recall["split_by_key"] >= 0.95
     feats.unpersist()
     truth_pairs.unpersist()
+
+
+def test_bump_block_sizes_exact_blocks_reachable_under_default_geometry(spark):
+    """Regression: with block_cap (200) <= large_block_size (400) the general
+    sizing pass is skipped, but exact sha blocks are never capped — a family
+    larger than large_block_size must still produce block_n for its members so
+    their mixed pairs get the reference's +0.02 crowded-block bump."""
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, bump_block_sizes
+
+    n_family = 450
+    rows = [(f"r{i}", 777, True) for i in range(n_family)]  # one sha family
+    rows += [(f"s{i}", 10 + i, False) for i in range(20)]   # small capped blocks
+    asg = spark.createDataFrame(
+        rows, "unique_id string, block_key long, is_exact boolean"
+    )
+    cfg = PipelineConfig()
+    assert cfg.scorer.large_block_size >= cfg.blocking.block_cap  # default geometry
+    got = {r["unique_id"]: r["block_n"] for r in bump_block_sizes(asg, cfg).collect()}
+    assert len(got) == n_family
+    assert all(v == n_family for v in got.values())
+    assert "s0" not in got  # capped-family records carry no block_n (-> no bump)

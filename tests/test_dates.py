@@ -59,3 +59,25 @@ def test_bare_year_and_month_year(spark):
 def test_no_dates(spark):
     ((hits, keys),) = _run(spark, ["no temporal content here at all"])
     assert hits == [] and keys == []
+
+
+def test_iso_digit_run_guard(spark):
+    # digit-adjacent runs are ids/serials, not ISO dates: no DAY-precision
+    # mention may come out of either ("2021" alone may still fall through to
+    # the bare-year family — that is the reference's behavior for a lone year)
+    ((a, _), (b, _)) = _run(
+        spark, ["case 12021-03-05 pending", "ref 2021-03-055 filed"]
+    )
+    assert [h for h in a if h["precision"] == "day"] == []
+    assert [h for h in b if h["precision"] == "day"] == []
+
+
+def test_standalone_month_year_survives_same_month_day_hit(spark):
+    # a standalone "March 2021" is a real month mention even though
+    # "March 5, 2021" (same year+month) appears elsewhere in the text
+    ((hits, keys),) = _run(
+        spark, ["Born March 5, 2021. By March 2021 the market had moved"]
+    )
+    precs = sorted((h["precision"], h["year"]) for h in hits)
+    assert precs == [("day", 2021), ("month", 2021)]
+    assert keys == ["2021-3-5", "2021-3-x"]

@@ -72,3 +72,23 @@ def test_gcn_resolve_groups_feature_connected(spark):
     assert out["r1"] == out["r2"]
     assert out["r3"] != out["r1"]
     assert len(out) == 3
+
+
+def test_gcn_resolve_null_feature_row_is_singleton(spark):
+    """Regression: a null node-feature row must not poison the feature-width
+    probe (it was a partition-order-dependent .first()) nor crash the kernel —
+    the record simply resolves as its own singleton cluster."""
+    rows = [
+        ("a", ["t1", "t2"], [1.0, 0.0, 0.0, 0.0]),
+        ("b", ["t1", "t2"], [1.0, 0.0, 0.0, 0.0]),
+        ("z", ["t9"], None),
+    ]
+    recs = spark.createDataFrame(
+        rows, "unique_id string, toks array<string>, emb array<double>"
+    )
+    out = {
+        r["unique_id"]: r["cluster_id"]
+        for r in gcn_resolve(recs, ["toks"], "emb", th=0.5).collect()
+    }
+    assert out["a"] == out["b"]
+    assert out["z"] == "z"  # null-featured: no embedding, singleton

@@ -223,3 +223,27 @@ def test_tfidf_physical_strategy_parity(spark):
         )
     )
     assert bcast == tf_path
+
+
+def test_tfidf_string_terms_with_vocab_filter_takes_stream_path(spark):
+    """Regression: the Arrow kernel tiers assume int64 hashed terms (their
+    xxhash64 replica is long-only); string term arrays with min_df/max_df set
+    used to crash in the vocab numpy cast. They must route to the stream path
+    and produce correctly pruned vectors."""
+    rows = [
+        ("a", ["NAME-x", "KW-alpha", "KW-beta"]),
+        ("b", ["NAME-x", "KW-alpha"]),
+        ("c", ["NAME-y", "KW-rare"]),
+    ]
+    docs = spark.createDataFrame(rows, "unique_id string, ftoks array<string>")
+    out = {
+        r["unique_id"]: r
+        for r in tfidf_vectors(
+            docs, "unique_id", "ftoks", min_df=2, terms_distinct=True
+        ).collect()
+    }
+    # df: NAME-x=2, KW-alpha=2 survive; KW-beta/NAME-y/KW-rare (df=1) pruned
+    assert len(out["a"]["terms"]) == 2 and len(out["b"]["terms"]) == 2
+    assert "c" not in out  # every term pruned -> no vector row
+    for r in out.values():
+        assert abs(sum(w * w for w in r["weights"]) - 1.0) < 1e-6

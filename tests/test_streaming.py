@@ -112,9 +112,11 @@ def test_incremental_match_joins_prior_batch_entity(spark, tmp_path):
 
     snap = latest_snapshot(spark, clusters_path)
     assert snap.count() == 3
-    # versioned retention: only the newest snapshot survives, marked complete
-    vdirs = [d for d in os.listdir(clusters_path) if d.startswith("v-")]
-    assert vdirs == ["v-2"]
+    # versioned retention: newest snapshot plus its immediate predecessor
+    # survive (a concurrent reader of v-1 must finish its scan; v-1 is pruned
+    # only on the v-3 write), and latest_snapshot picks the newest
+    vdirs = sorted(d for d in os.listdir(clusters_path) if d.startswith("v-"))
+    assert vdirs == ["v-1", "v-2"]
     by_sha = (
         snap.groupBy("content_sha")
         .agg(F.countDistinct("cluster_id").alias("n_clusters"), F.count("*").alias("n"))
