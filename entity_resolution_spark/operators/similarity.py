@@ -1,4 +1,4 @@
-"""Similarity search over embedding columns: brute-force cosine top-k + LSH ANN.
+"""Similarity search over embedding columns: brute-force cosine top-k + ANN.
 
 The reference compares dense vectors only pairwise inside blocks (BERT/TF-IDF cosine,
 ``am_combiner/combiners/tfidf.py:199-217``); a training-data pipeline additionally
@@ -7,13 +7,23 @@ needs *search*: given probe vectors, the k nearest corpus vectors.
 - ``brute_force_topk``: exact — probe × corpus join with JVM ``zip_with`` dot
   products, window row_number for top-k. O(P·N); right when P is small or as the
   per-bucket step below.
-- ``lsh_ann_topk``: scale path — Charikar sign sketches (256-bit hyperplane
+- ``lsh_ann_topk``: scale path #1 — Charikar sign sketches (256-bit hyperplane
   signature per vector), XOR+popcount Hamming screen against broadcast probe
   sketches, exact cosine rerank inside the radius. One linear scan over packed
   32-byte sketches instead of float vectors; recall set by the Hamming radius.
+- ``ivf_ann_topk``: scale path #2 — IVF (inverted-file) coarse quantization: a
+  seeded spherical k-means over a deterministic corpus sample trains the cell
+  centroids; each corpus vector is assigned to its nearest cell and only the
+  ``n_probe`` cells nearest each probe are exact-reranked. Candidate volume
+  ≈ N·n_probe/n_cells — the selectivity dial is geometric (cells), where the
+  sketch path's is statistical (radius). On a persistent 100 TB deployment the
+  cell assignment is the precomputed index column (partition the table by
+  cell; probes touch n_probe partitions), which is why the assignment step is
+  exposed separately as :func:`ivf_assign_cells`.
 
-Hyperplanes are seeded from literal constants (deterministic across runs/cluster
-sizes, like FastRP's id-seeded projections, ``am_combiner/combiners/fastRP.py:62-67``).
+Hyperplanes/centroid seeds are literal constants (deterministic across
+runs/cluster sizes, like FastRP's id-seeded projections,
+``am_combiner/combiners/fastRP.py:62-67``).
 """
 
 from __future__ import annotations
@@ -218,6 +228,12 @@ def lsh_ann_topk(
     if hamming_radius is None:
         hamming_radius = int(sketch_bits / 2 - 1.6 * (sketch_bits ** 0.5) / 2)
 
+    # id columns pass through with their INPUT types (long, string, …) — the
+    # brute_force_topk parity the docstring promises, not a hardcoded long
+    pid_t = probes.select(probe_id_col).schema.fields[0].dataType.simpleString()
+    nid_t = corpus.select(id_col).schema.fields[0].dataType.simpleString()
+    scan_schema = f"probe_id {pid_t}, neighbor_id {nid_t}, cosine double"
+
     # the probe side is small by contract (same as brute_force_topk's
     # broadcast) — ship ids/vectors to every scan task via Spark broadcast
     probe_rows = probes.select(
@@ -225,7 +241,7 @@ def lsh_ann_topk(
     ).collect()
     if not probe_rows:
         return corpus.sparkSession.createDataFrame(
-            [], "probe_id long, neighbor_id long, cosine double, rank int"
+            [], scan_schema + ", rank int"
         )
     p_ids = _np.array([r["probe_id"] for r in probe_rows])
     p_mat = _np.stack([_np.asarray(r["_pv"], dtype=_np.float64) for r in probe_rows])
@@ -270,9 +286,215 @@ def lsh_ann_topk(
             )
 
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    scored = c.mapInPandas(
-        scan, schema="probe_id long, neighbor_id long, cosine double"
+    scored = c.mapInPandas(scan, schema=scan_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _spherical_kmeans(unit: "_np.ndarray", n_cells: int, seed: int, n_iter: int = 10):
+    """Seeded k-means++ init + fixed-iteration Lloyd on the unit sphere
+    (assignment by max dot == min cosine distance; centroids re-normalized).
+    Driver-side over a bounded sample — deterministic by construction (fixed
+    seed, fixed iteration count, no convergence-dependent stopping)."""
+    n = len(unit)
+    n_cells = max(1, min(n_cells, n))
+    rng = _np.random.RandomState(seed)
+    cents = [unit[int(rng.randint(n))]]
+    d = _np.clip(1.0 - unit @ cents[0], 0.0, None)
+    for _ in range(1, n_cells):
+        tot = float(d.sum())
+        if tot <= 0.0:
+            idx = int(rng.randint(n))
+        else:
+            idx = min(
+                int(_np.searchsorted(_np.cumsum(d), rng.uniform(0.0, tot))), n - 1
+            )
+        cents.append(unit[idx])
+        d = _np.minimum(d, _np.clip(1.0 - unit @ cents[-1], 0.0, None))
+    cmat = _np.stack(cents)
+    for _ in range(n_iter):
+        assign = _np.argmax(unit @ cmat.T, axis=1)
+        for c in range(n_cells):
+            members = assign == c
+            if members.any():
+                v = unit[members].sum(axis=0)
+                norm = float(_np.linalg.norm(v))
+                if norm > 0:
+                    cmat[c] = v / norm
+    return cmat
+
+
+def _unit_rows(mat: "_np.ndarray") -> "_np.ndarray":
+    norms = _np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 8192,
+    seed: int = _SKETCH_SEED,
+) -> "_np.ndarray":
+    """Coarse-quantizer centroids from a DETERMINISTIC corpus sample (every
+    ``ceil(N/sample_rows)``-th row by id hash — no RNG in the distributed
+    part). Default ``n_cells`` ≈ √N (the classical IVF balance point: cell
+    size ≈ scan-list size ≈ √N)."""
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    if n_cells is None:
+        n_cells = max(4, int(n ** 0.5))
+    every = max(1, n // sample_rows)
+    samp = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .where(F.pmod("_h", F.lit(every)) == 0)
+        .limit(sample_rows)
+        .collect()
+    )
+    mat = _np.stack([_np.asarray(r["_v"], dtype=_np.float64) for r in samp])
+    return _spherical_kmeans(_unit_rows(mat), n_cells, seed)
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: "_np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, vec, cell): nearest-centroid assignment, one Arrow
+    batch matmul per task against the broadcast centroid matrix. At deployment
+    scale this column IS the IVF index — write the table partitioned/bucketed
+    by ``cell`` and a probe touches only its ``n_probe`` cells' files."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    nid_t = corpus.select(id_col).schema.fields[0].dataType.simpleString()
+    vec_t = corpus.select(vec_col).schema.fields[0].dataType.simpleString()
+
+    def assign(batches):
+        cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            unit = _unit_rows(
+                _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in pdf["_v"].to_numpy()]
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"],
+                    vec_col: pdf["_v"],
+                    "cell": _np.argmax(unit @ cmat.T, axis=1).astype(_np.int32),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return c.mapInPandas(
+        assign, schema=f"{id_col} {nid_t}, {vec_col} {vec_t}, cell int"
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str | None = None,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    sample_rows: int = 8192,
+    seed: int = _SKETCH_SEED,
+    centroids: "_np.ndarray | None" = None,
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization + exact rerank.
+
+    One fused scan over the corpus: each Arrow batch assigns its rows to
+    cells (matmul vs broadcast centroids), admits a row only for the probes
+    whose ``n_probe`` nearest cells include that row's cell, and computes the
+    exact cosine for the admitted (row, probe) pairs; a final window takes the
+    per-probe top-k. Output schema matches :func:`brute_force_topk` with ids
+    passing through at their input types.
+
+    Pass ``centroids`` (from :func:`train_ivf_centroids`) to reuse a trained
+    quantizer — the persistent-index deployment path; otherwise a
+    deterministic sample trains one inline.
+    """
+    import pandas as pd
+
+    probe_id_col = probe_id_col or id_col
+    pid_t = probes.select(probe_id_col).schema.fields[0].dataType.simpleString()
+    nid_t = corpus.select(id_col).schema.fields[0].dataType.simpleString()
+    scan_schema = f"probe_id {pid_t}, neighbor_id {nid_t}, cosine double"
+
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    ).collect()
+    if not probe_rows:
+        return corpus.sparkSession.createDataFrame([], scan_schema + ", rank int")
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col,
+            sample_rows=sample_rows, seed=seed,
+        )
+    n_cells_eff = len(centroids)
+    n_probe = max(1, min(n_probe, n_cells_eff))
+
+    p_ids = _np.array([r["probe_id"] for r in probe_rows])
+    p_unit = _unit_rows(
+        _np.stack([_np.asarray(r["_pv"], dtype=_np.float64) for r in probe_rows])
+    )
+    # probed[cell, probe] = does this probe scan this cell
+    order = _np.argsort(-(p_unit @ centroids.T), axis=1)[:, :n_probe]
+    probed = _np.zeros((n_cells_eff, len(p_ids)), dtype=bool)
+    for pi in range(len(p_ids)):
+        probed[order[pi], pi] = True
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        {"ids": p_ids, "unit": p_unit, "cents": centroids, "probed": probed}
+    )
+
+    def scan(batches):
+        pb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            unit = _unit_rows(
+                _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in pdf["_v"].to_numpy()]
+                )
+            )
+            cells = _np.argmax(unit @ pb["cents"].T, axis=1)
+            adm = pb["probed"][cells] & (ids[:, None] != pb["ids"][None, :])
+            ci, pi = _np.where(adm)
+            if not len(ci):
+                continue
+            cosine = _np.einsum("ij,ij->i", unit[ci], pb["unit"][pi])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pb["ids"][pi],
+                    "neighbor_id": ids[ci],
+                    "cosine": _np.round(cosine, 6),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = c.mapInPandas(scan, schema=scan_schema)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -542,6 +542,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, probes, k=5)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded spherical-k-means coarse cells over a
+    deterministic corpus sample, corpus assigned to nearest cell, probes scan
+    their n_probe nearest cells with exact rerank. Rows-only (float k-means);
+    recall is gated in bench.py on planted high-cosine partners — the
+    near-dup-retrieval regime coarse cells actually index. (This corpus is
+    isotropic at cosine 0.3-0.5 where ANY cell index degenerates to
+    recall ≈ scan fraction; the sketch path covers that regime.)"""
+    from entity_resolution_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.where(F.col("vec_id") < 20)
+    return ivf_ann_topk(e, probes, k=5, n_probe=4)
+
+
 def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: full ER pipeline over documents adapted to the mandated input
     shape (repo=source, path=doc_id.txt, commit=doc_id, lang=lang, content=text)."""
@@ -1023,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
