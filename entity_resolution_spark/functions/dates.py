@@ -72,6 +72,35 @@ def _family(text: Column, pattern: str, build) -> Column:
     return F.transform(matches, build)
 
 
+def _occurrences(hay: Column, needle: Column) -> Column:
+    """Non-overlapping substring occurrence count (length-delta / replace)."""
+    return F.when(F.length(needle) == 0, F.lit(0)).otherwise(
+        ((F.length(hay) - F.length(F.replace(hay, needle))) / F.length(needle))
+        .cast("int")
+    )
+
+
+def _keep_uncovered(arr: Column, sup: Column) -> Column:
+    """Per-OCCURRENCE precision suppression. ``regexp_extract_all`` emits one
+    element per occurrence, so for each mention text drop exactly as many
+    occurrences as are covered inside suppressor-hit texts and keep the rest.
+    (Plain text containment over-suppresses: a standalone "March 2021" — or a
+    repeated bare "2021" — elsewhere in the text is a genuine mention even
+    when "5 March 2021" also appears; the reference emits one mention per
+    spaCy DATE entity.)"""
+
+    def keep(m, i):
+        covered = F.aggregate(
+            sup, F.lit(0), lambda acc, d: acc + _occurrences(d["text"], m["text"])
+        )
+        earlier_same = F.size(
+            F.filter(F.slice(arr, F.lit(1), i), lambda e: e["text"] == m["text"])
+        )
+        return earlier_same >= covered
+
+    return F.filter(arr, keep)
+
+
 def extract_dates(text: Column) -> Column:
     """array<DATE_STRUCT> of every standardised date mention in ``text``.
 
@@ -137,23 +166,12 @@ def extract_dates(text: Column) -> Column:
     )
 
     day_hits = F.concat(iso, slash, mdy, dmy)
-    # a month-year mention is kept only if its text is not inside a day hit —
-    # CONTAINMENT only: a standalone "March 2021" elsewhere in the text is a
-    # genuine month mention even when "March 5, 2021" also appears (the
-    # reference emits one mention per spaCy DATE entity)
-    my_kept = F.filter(
-        my,
-        lambda m: ~F.exists(
-            day_hits, lambda d: d["text"].contains(m["text"])
-        ),
-    )
+    # occurrence-counted suppression (see _keep_uncovered): month-year
+    # occurrences inside day hits are dropped, standalone repeats survive;
+    # same for bare years vs every higher-precision hit
+    my_kept = _keep_uncovered(my, day_hits)
     month_plus = F.concat(day_hits, my_kept)
-    yr_kept = F.filter(
-        yr,
-        lambda m: ~F.exists(
-            month_plus, lambda d: d["text"].contains(m["text"])
-        ),
-    )
+    yr_kept = _keep_uncovered(yr, month_plus)
     return F.concat(month_plus, yr_kept)
 
 

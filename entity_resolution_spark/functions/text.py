@@ -67,6 +67,15 @@ def word_like_token_count(col: Column | str) -> Column:
     return (words + punct).cast("long")
 
 
+# the ONE stopword list — quality_features, the quality_stats_lang query and
+# its DuckDB oracle all derive from this constant (a copy drifting on one
+# engine would surface only as an opaque cross-engine hash mismatch)
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "be", "this", "are", "at",
+)
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Cheap document-quality signals: length, punctuation ratio, stopword ratio,
     mean word length, uppercase ratio. All pure SQL expressions."""
@@ -76,10 +85,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
     toks = tokens(c)
-    stopwords = F.array(*[F.lit(w) for w in (
-        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-        "that", "for", "on", "as", "with", "was", "be", "this", "are", "at",
-    )])
+    stopwords = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stopwords, t)))
     n_tok = F.size(toks)
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731

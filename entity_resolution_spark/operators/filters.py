@@ -47,8 +47,8 @@ def limit_names(
     ``min(order_by)`` when given (e.g. an ingest timestamp or line number),
     else by the name itself — both deterministic under any partitioning.
     """
-    if not max_names:
-        return records
+    if max_names is None:
+        return records  # only None means "no limit"; 0 truncates to nothing
     rank_key = (
         F.min(order_by).alias("_rk")
         if order_by is not None

@@ -163,9 +163,12 @@ def gcn_resolve(
     edges = feature_intersection_edges(records, feature_cols, id_col=id_col)
     emb = sage_layer(
         edges,
-        # null-featured records get no embedding (and so coalesce to singleton
-        # clusters below) instead of crashing the numpy reshape in the kernel
-        records.where(F.col(node_feat_col).isNotNull()).select(
+        # null or off-width feature arrays get no embedding (and so coalesce
+        # to singleton clusters below) instead of crashing the numpy reshape
+        # in the kernel — ragged widths make tolist() an object array
+        records.where(
+            F.size(F.col(node_feat_col).cast("array<double>")) == in_dim
+        ).select(
             F.col(id_col).alias("id"), F.col(node_feat_col).alias("features")
         ),
         weights["w_self"],

@@ -285,7 +285,11 @@ def resolve(
         # streams, nothing sorts. The count is cheap: CC returns a
         # materialized frame on the small path, and the loop path's output
         # is one narrow agg over a checkpointed edge set.
-        broadcastable = labels.count() <= 10_000_000
+        # ~1M (long,long) label rows ≈ 50-60 MB as a broadcast relation (and
+        # reps carry 64-char strings) — stay inside the session's 64 MB
+        # threshold so the fast path cannot OOM the driver; bigger label sets
+        # take the shuffle-hash path one row below
+        broadcastable = labels.count() <= 1_000_000
         hinted = F.broadcast(labels) if broadcastable else labels.hint("shuffle_hash")
         all_ids = fi.select("unique_id", "unique_id_str", "lang", "content_sha")
         comp = all_ids.join(hinted, all_ids["unique_id"] == labels["id"], "left").select(

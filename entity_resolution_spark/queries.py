@@ -229,10 +229,7 @@ def q_quality_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     every value is a bigint produced by integer div arithmetic, identical on
     any engine.  round-half-up(a/b) ≡ (2a + b) div (2b) for non-negative ints.
     """
-    stop_arr = F.array(*[F.lit(w) for w in (
-        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-        "that", "for", "on", "as", "with", "was", "be", "this", "are", "at",
-    )])
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS])
     d = _t(spark, sf_dir, "documents")
     # bind tokens to a column first: HOF lambdas re-evaluate embedded child
     # expressions per element (would re-tokenize per token otherwise)
@@ -275,7 +272,7 @@ def q_quality_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','be','this','are','at')"
+_STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + ")"
 
 SQL_QUALITY_STATS_LANG = f"""
 WITH toks AS (
@@ -839,8 +836,14 @@ x1 AS (SELECT m.d AS id, r.pos, sum(wn * val) AS val FROM m JOIN r ON r.id = m.s
 x2 AS (SELECT m.d AS id, x1.pos, sum(wn * val) AS val FROM m JOIN x1 ON x1.id = m.s GROUP BY 1, 2),
 x3 AS (SELECT m.d AS id, x2.pos, sum(wn * val) AS val FROM m JOIN x2 ON x2.id = m.s GROUP BY 1, 2),
 acc AS (
-  SELECT x2.id, x2.pos, 0.5 * x2.val + 0.5 * x3.val AS val
-  FROM x2 JOIN x3 ON x2.id = x3.id AND x2.pos = x3.pos
+  -- union-accumulate like the Spark side (a missing (id,pos) in one power
+  -- term contributes 0) — an inner join would DROP entries supported by only
+  -- one term and silently zero a sparse component's whole embedding
+  SELECT id, pos, sum(v) AS val FROM (
+    SELECT id, pos, 0.5 * val AS v FROM x2
+    UNION ALL
+    SELECT id, pos, 0.5 * val AS v FROM x3
+  ) GROUP BY id, pos
 ),
 nrm AS (SELECT id, sqrt(sum(val * val)) AS n FROM acc GROUP BY id)
 SELECT e0.ia AS id_a, e0.ib AS id_b,

@@ -241,45 +241,53 @@ def stream_incremental_assign(
             counts = np.asarray(list(counts_t), dtype=np.int64)
         else:
             founders, centroids, counts = [], None, np.zeros(0, np.int64)
-        outs = []
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("_id", kind="mergesort")
-            x = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
-            ids = pdf["_id"].to_numpy()
-            labels = []
-            for i in range(len(ids)):
-                xi = x[i]
-                xn = np.linalg.norm(xi)
-                xs = 1.0 if xn == 0 else xn
-                if founders:
-                    cn = np.linalg.norm(centroids, axis=1)
-                    cn = np.where(cn == 0, 1.0, cn)
-                    s = (centroids @ xi) / (cn * xs)
-                    best_c = int(np.argmax(s))  # first max = earliest cluster
-                    best = s[best_c]
-                    # strictly > 0: reference starts at 0.0 with none selected
-                    if best > 0.0 and best >= threshold:
-                        labels.append(founders[best_c])
-                        centroids[best_c] = (
-                            centroids[best_c] * counts[best_c] + xi
-                        ) / (counts[best_c] + 1)
-                        counts[best_c] += 1
-                        continue
-                labels.append(ids[i])
-                founders.append(ids[i])
-                centroids = (
-                    xi[None, :]
-                    if centroids is None or not len(founders) - 1
-                    else np.vstack([centroids, xi[None, :]])
-                )
-                counts = np.append(counts, 1)
-            outs.append(
-                pd.DataFrame(
-                    {"unique_id": ids, block_col: key[0], "cluster_id": labels}
-                )
+        # buffer ALL Arrow chunks before sorting: a >maxRecordsPerBatch group
+        # arrives as several pdfs in arrival order, and per-chunk sorting would
+        # break the documented ascending-id scan (and batch-operator parity)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "_id", kind="mergesort"
+        )
+        x = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        # centroid norms maintained incrementally: only the joined/founded
+        # centroid's norm changes per record (a full per-record norms pass
+        # made hot blocks O(clusters·d) twice over)
+        cnorms = (
+            np.linalg.norm(centroids, axis=1)
+            if founders
+            else np.zeros(0, np.float64)
+        )
+        labels = []
+        for i in range(len(ids)):
+            xi = x[i]
+            xn = np.linalg.norm(xi)
+            xs = 1.0 if xn == 0 else xn
+            if founders:
+                cn = np.where(cnorms == 0, 1.0, cnorms)
+                s = (centroids @ xi) / (cn * xs)
+                best_c = int(np.argmax(s))  # first max = earliest cluster
+                best = s[best_c]
+                # strictly > 0: reference starts at 0.0 with none selected
+                if best > 0.0 and best >= threshold:
+                    labels.append(founders[best_c])
+                    centroids[best_c] = (
+                        centroids[best_c] * counts[best_c] + xi
+                    ) / (counts[best_c] + 1)
+                    counts[best_c] += 1
+                    cnorms[best_c] = np.linalg.norm(centroids[best_c])
+                    continue
+            labels.append(ids[i])
+            founders.append(ids[i])
+            centroids = (
+                xi[None, :]
+                if centroids is None or not len(founders) - 1
+                else np.vstack([centroids, xi[None, :]])
             )
+            counts = np.append(counts, 1)
+            cnorms = np.append(cnorms, xn)
         if founders:
             state.update(
                 (
@@ -288,8 +296,9 @@ def stream_incremental_assign(
                     [int(c) for c in counts],
                 )
             )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        yield pd.DataFrame(
+            {"unique_id": ids, block_col: key[0], "cluster_id": labels}
+        )
 
     base = records.select(
         F.col(id_col).cast("string").alias("_id"),

@@ -81,3 +81,19 @@ def test_standalone_month_year_survives_same_month_day_hit(spark):
     precs = sorted((h["precision"], h["year"]) for h in hits)
     assert precs == [("day", 2021), ("month", 2021)]
     assert keys == ["2021-3-5", "2021-3-x"]
+
+
+def test_per_occurrence_suppression(spark):
+    # suppression is occurrence-counted, not text-containment: a standalone
+    # repeat of a string that also appears inside a day hit is a real mention
+    ((a, _), (b, _)) = _run(
+        spark,
+        [
+            "Published March 5, 2021. Also archived 2021.",
+            "Met in March 2021 and again on 5 March 2021.",
+        ],
+    )
+    got_a = sorted((h["precision"], h["year"]) for h in a)
+    assert got_a == [("day", 2021), ("year", 2021)]
+    got_b = sorted((h["precision"], h["year"]) for h in b)
+    assert got_b == [("day", 2021), ("month", 2021)]

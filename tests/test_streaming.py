@@ -226,3 +226,60 @@ def test_stream_incremental_assign_single_batch_parity(spark, tmp_path):
         for r in spark.sql("select * from inc_parity").collect()
     }
     assert got == want, (got, want)
+
+
+def test_stream_incremental_assign_multi_chunk_group_parity(spark, tmp_path):
+    """Regression: a group larger than arrow maxRecordsPerBatch arrives as
+    SEVERAL pdfs; the operator must buffer and sort the whole micro-batch
+    before walking (per-chunk sorting scanned later chunks' low ids after
+    earlier chunks' high ids, breaking batch parity and determinism)."""
+    from entity_resolution_spark.operators.incremental_combiner import (
+        incremental_cluster_blocks,
+    )
+    from entity_resolution_spark.streaming.incremental import (
+        stream_incremental_assign,
+    )
+
+    schema = "unique_id string, blocking_key string, vec array<double>"
+    # 40 records, one block; written in DESCENDING id order so arrival order
+    # disagrees with scan order and chunking matters (5 chunks of 8)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0] if i % 3 else [0.6, 0.8]
+        rows.append(
+            (f"r{i:02d}", "b", [base[0] + 0.01 * (i % 7), base[1] + 0.015 * (i % 5)])
+        )
+    df = spark.createDataFrame(rows, schema)
+    want = {
+        (r["unique_id"], r["cluster_id"])
+        for r in incremental_cluster_blocks(
+            df, "vec", threshold=0.93, strategy="centroid"
+        ).collect()
+    }
+
+    src = tmp_path / "vec_chunks"
+    src.mkdir()
+    df.orderBy(F.col("unique_id").desc()).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = stream_incremental_assign(stream, "vec", threshold=0.93)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("inc_chunks")
+            .option("checkpointLocation", str(tmp_path / "ck_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r["unique_id"], r["cluster_id"])
+        for r in spark.sql("select * from inc_chunks").collect()
+    }
+    assert got == want, (got, want)
