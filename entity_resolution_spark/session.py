@@ -63,6 +63,15 @@ def get_spark(
         # bounded by the widest stage (~3 KB/row tokenizer input ≈ 100 MB).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default 100-entry whole-stage-codegen class cache thrashes under
+        # this engine's query mix: one pass over the ~33 bench queries at
+        # sf0.1 generates enough distinct generated classes (AQE re-plans,
+        # the 64-column SimHash aggregate, PPJoin pipelines) that by the
+        # second pass every early query re-pays Janino compilation — measured
+        # 16.5s vs 5.5s warm for colour_split_docs. 3000 entries ≈ tens of MB
+        # of metaspace, the right trade for any long-lived session (notebook,
+        # streaming driver, bench harness).
+        .config("spark.sql.codegen.cache.maxEntries", "3000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         # tokenization/shingling costs ~100× the scan I/O per byte, so scan
