@@ -162,6 +162,19 @@ def recall_gates(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Bounded quiet-window gate: the sandbox host is shared, and a neighbor
+    # burst during the single per-round bench misattributes tens of seconds to
+    # whichever queries it hits (measured: cc_jaccard 14s quiet vs 34s with
+    # both reps inside one burst). Wait up to 5 min for 1-min loadavg < 2.5,
+    # then proceed regardless — the gate must never hang the driver.
+    t_gate = time.monotonic()
+    while time.monotonic() - t_gate < 300:
+        load = os.getloadavg()[0]
+        if load < 2.5:
+            break
+        print(f"# waiting for quiet host (load {load:.1f})", file=sys.stderr)
+        time.sleep(15)
+
     spark = get_spark("bench")
 
     # warm up the JVM/Arrow paths so per-query times measure the queries
@@ -184,6 +197,21 @@ def main() -> int:
                 print(f"# {name}[{rep}]: {dt:.2f}s rows={n}", file=sys.stderr)
             except Exception as e:  # keep the harness robust: one bad query ≠ no bench
                 print(f"# {name}[{rep}]: ERROR {e}", file=sys.stderr)
+    # Tie-breaker rep: when a query's two samples disagree by >1.8× and the
+    # better one still costs >2s, BOTH probably landed in one neighbor burst
+    # (this host's bursts last minutes — long enough to straddle two passes of
+    # a ~2-min suite). One more spaced sample bounds the damage to the noise
+    # victims instead of tripling the whole suite.
+    for name, ds in reps.items():
+        if len(ds) == 2 and min(ds) > 2.0 and max(ds) / min(ds) > 1.5:
+            t0 = time.monotonic()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                ds.append(dt)
+                print(f"# {name}[tiebreak]: {dt:.2f}s", file=sys.stderr)
+            except Exception as e:
+                print(f"# {name}[tiebreak]: ERROR {e}", file=sys.stderr)
     times = {
         name: (round(min(ds), 3) if ds else -1.0) for name, ds in reps.items()
     }
