@@ -88,12 +88,17 @@ def combo_basic_terms(
     for t in cand:
         by_len.setdefault(len(t), set()).add(t)
     for t in cand:
-        for shorter_len in range(min_len, len(t)):
-            for i in range(len(t) - shorter_len + 1):
-                s = t[i : i + shorter_len]
-                if s in cand:
-                    sup[s] += 1   # t is a superset containing s
-                    sub[t] += 1   # s is a subset of t
+        # distinct subset TYPES of t: e/e' count candidate TERMS, so a subset
+        # occurring twice inside t (e.g. "a a" in "a a a") still counts once
+        subs = {
+            t[i : i + shorter_len]
+            for shorter_len in range(min_len, len(t))
+            for i in range(len(t) - shorter_len + 1)
+        }
+        for s in subs:
+            if s in cand:
+                sup[s] += 1   # t is a superset containing s
+                sub[t] += 1   # s is a subset of t
     import math
 
     scored = [

@@ -66,8 +66,15 @@ def _single_task_components(e: DataFrame) -> DataFrame:
     root of every node is exactly the component's min node id — the same
     labels the large-star/small-star loop converges to.
 
-    Node ids may be longs or strings (np.unique orders ASCII strings like
-    Spark's binary ordering; non-ASCII ids should use the distributed path).
+    Node ids may be longs or strings (string components are labeled by the
+    Python-min member — identical to Spark's ordering for ASCII ids; non-ASCII
+    ids should use the distributed path).
+
+    Node codes come from ``pd.factorize`` (hash-based, O(E)), NOT ``np.unique``
+    — sorting the edge endpoints dominated the kernel on string ids (measured
+    5.6s vs 0.6s on 3.6M endpoints). Factorize codes are first-appearance
+    ordered, so after the union-find fixpoint the component label is restored
+    as the min ORIGINAL id per root over the (small) node table.
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -88,9 +95,10 @@ def _single_task_components(e: DataFrame) -> DataFrame:
             return
         src_v = np.concatenate(srcs)
         dst_v = np.concatenate(dsts)
-        nodes, inv = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
-        a = inv[: len(src_v)]
-        b = inv[len(src_v):]
+        codes, nodes = pd.factorize(np.concatenate([src_v, dst_v]))
+        nodes = np.asarray(nodes)
+        a = codes[: len(src_v)]
+        b = codes[len(src_v):]
         parent = np.arange(len(nodes), dtype=np.int64)
         while True:
             pa = parent[a]
@@ -105,7 +113,11 @@ def _single_task_components(e: DataFrame) -> DataFrame:
                 if np.array_equal(pp, parent):
                     break
                 parent = pp
-        yield pd.DataFrame({"id": nodes, "component": nodes[parent]})
+        # parent is a canonical root code per node (min CODE, which is
+        # first-appearance order — arbitrary); relabel each component by its
+        # min node VALUE over the O(nodes) table to get the contract's labels
+        comp = pd.Series(nodes).groupby(parent).transform("min").to_numpy()
+        yield pd.DataFrame({"id": nodes, "component": comp})
 
     return e.coalesce(1).mapInPandas(kernel, schema=out_schema)
 

@@ -344,10 +344,13 @@ def train_ivf_centroids(
     sample_rows: int = 8192,
     seed: int = _SKETCH_SEED,
 ) -> "_np.ndarray":
-    """Coarse-quantizer centroids from a DETERMINISTIC corpus sample (every
-    ``ceil(N/sample_rows)``-th row by id hash — no RNG in the distributed
-    part). Default ``n_cells`` ≈ √N (the classical IVF balance point: cell
-    size ≈ scan-list size ≈ √N)."""
+    """Coarse-quantizer centroids from a DETERMINISTIC corpus sample: the
+    hash-sampled rows with the ``sample_rows`` smallest id hashes
+    (TakeOrderedAndProject — the ordering makes the sample independent of
+    partition layout, so the trained quantizer is identical at any
+    parallelism; a bare ``limit`` would take whichever rows arrived first).
+    Default ``n_cells`` ≈ √N (the classical IVF balance point: cell size ≈
+    scan-list size ≈ √N)."""
     n = corpus.count()
     if n == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")
@@ -360,6 +363,7 @@ def train_ivf_centroids(
             F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
         )
         .where(F.pmod("_h", F.lit(every)) == 0)
+        .orderBy("_h")
         .limit(sample_rows)
         .collect()
     )
