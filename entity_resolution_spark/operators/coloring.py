@@ -103,13 +103,19 @@ def colour_negative_edges_split(
         F.col(id_b).cast("string").alias("id_b"),
         F.col(weight_col).cast("double").alias("w"),
     ).localCheckpoint(eager=True)
-    # labels is consumed by four joins below; persist and hand the frame to the
-    # caller's release list (engine convention — see pipeline.release())
+    # labels is consumed by four joins below; with a caller release list it is
+    # persisted and handed over (engine convention — see pipeline.release());
+    # without one it is eagerly localCheckpointed instead, whose blocks the
+    # ContextCleaner reclaims when the frame is collected — a bare persist
+    # here would outlive the call (the jaccard_pairs leak class from ADVICE).
     labels = connected_components(pe, "id_a", "id_b").withColumnRenamed(
         "component", "_comp"
-    ).persist()
+    )
     if persisted is not None:
+        labels = labels.persist()
         persisted.append(labels)
+    else:
+        labels = labels.localCheckpoint(eager=True)
 
     ne = (
         neg_edges.select(

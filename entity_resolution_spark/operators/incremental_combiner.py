@@ -133,7 +133,10 @@ def incremental_cluster_blocks(
             }
         )
 
-    ord_expr = F.col(order_col).cast("string") if order_col else F.col(id_col).cast("string")
+    # order_col keeps its NATIVE type: a numeric ingest sequence cast to
+    # string would scan "1000" before "999" (lexicographic), silently
+    # re-ordering the walk; pandas sorts longs/timestamps natively
+    ord_expr = F.col(order_col) if order_col else F.col(id_col).cast("string")
     base = records.select(
         F.col(id_col).cast("string").alias("_id"),
         F.col(block_col).cast("string").alias("_blk"),

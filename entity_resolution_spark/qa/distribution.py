@@ -30,51 +30,74 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _run_scores(clusters: DataFrame, run: int, sampling_rate: float) -> DataFrame:
-    """One sampled acceptance measurement → a 1-row frame.
+def check_acceptance_distribution(
+    clusters: DataFrame,
+    sampling_rate: float = 0.2,
+    number_of_runs: int = 20,
+) -> DataFrame:
+    """``number_of_runs`` seeded sampled acceptance measurements → one row each.
 
-    ``clusters``: (unique_id, blocking_key, cluster_id, ground_truth).
+    Reference quality_metrics.py:344-365. Input: (unique_id, blocking_key,
+    cluster_id, ground_truth).
+
+    All runs run in ONE plan: records are exploded across run ids, ranked
+    inside each (run, block) partition by ``xxhash64(id, run)``, and each
+    odd-ranked record pairs with its window successor (``lead``) — the same
+    (rank 2j−1, rank 2j) pairs the per-run formulation produced, without its
+    two self-joins, and without ``number_of_runs`` driver-scheduled jobs (a
+    20-run check was 20 plan unions; plan count IS serial cost — the engine's
+    repeated scaling lesson).
     """
-    w = Window.partitionBy("blocking_key").orderBy("_h", "unique_id")
-    ranked = clusters.select(
-        "unique_id", "blocking_key", "cluster_id", "ground_truth",
-        F.xxhash64("unique_id", F.lit(run)).alias("_h"),
-    ).withColumn("_rk", F.row_number().over(w))
-    n_blk = clusters.groupBy("blocking_key").agg(
-        F.floor(F.count("*") * F.lit(sampling_rate)).alias("_n_pairs")
-    )
-    a = ranked.where(F.col("_rk") % 2 == 1).select(
-        "blocking_key",
-        ((F.col("_rk") + 1) / 2).cast("long").alias("_pair"),
-        F.col("cluster_id").alias("_ca"), F.col("ground_truth").alias("_ga"),
-    )
-    b = ranked.where(F.col("_rk") % 2 == 0).select(
-        "blocking_key",
-        (F.col("_rk") / 2).cast("long").alias("_pair"),
-        F.col("cluster_id").alias("_cb"), F.col("ground_truth").alias("_gb"),
-    )
-    pairs = (
-        a.join(b, ["blocking_key", "_pair"])
-        .join(n_blk, "blocking_key")
-        .where(F.col("_pair") <= F.col("_n_pairs"))
+    w = Window.partitionBy("_run", "blocking_key").orderBy("_h", "unique_id")
+    cnt_w = Window.partitionBy("_run", "blocking_key")
+    ranked = (
+        clusters.select("unique_id", "blocking_key", "cluster_id", "ground_truth")
         .select(
-            (F.col("_ca") == F.col("_cb")).alias("pred"),
-            (F.col("_ga") == F.col("_gb")).alias("actual"),
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(number_of_runs - 1))).alias("_run"),
+        )
+        .withColumn("_h", F.xxhash64("unique_id", "_run"))
+        .select(
+            "*",
+            F.row_number().over(w).alias("_rk"),
+            F.count("*").over(cnt_w).alias("_n_rec"),
+            F.lead("cluster_id").over(w).alias("_cb"),
+            F.lead("ground_truth").over(w).alias("_gb"),
         )
     )
-    agg = pairs.agg(
+    pairs = ranked.where(
+        (F.col("_rk") % 2 == 1)
+        & F.col("_cb").isNotNull()
+        & (
+            (F.col("_rk") + 1) / 2
+            <= F.floor(F.col("_n_rec") * F.lit(sampling_rate))
+        )
+    ).select(
+        F.col("_run").alias("run"),
+        (F.col("cluster_id") == F.col("_cb")).alias("pred"),
+        (F.col("ground_truth") == F.col("_gb")).alias("actual"),
+    )
+    agg = pairs.groupBy("run").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0)).alias("fp"),
         F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0)).alias("fn"),
         F.sum(F.when(~F.col("pred") & ~F.col("actual"), 1).otherwise(0)).alias("tn"),
     )
+    # a run whose every block floors to 0 sampled pairs must still report a
+    # zeroed row (the reference appends a score row per run unconditionally)
+    all_runs = clusters.sparkSession.range(number_of_runs).select(
+        F.col("id").cast("int").alias("run")
+    )
+    agg = all_runs.join(agg, "run", "left").fillna(
+        0, subset=["n", "tp", "fp", "fn", "tn"]
+    )
     # weighted-average P/R/F over the two classes (sklearn average="weighted"
     # with labels {Yes, No} — acceptance_metrics.py:70-74): class Yes uses
     # (tp, fp, fn), class No mirrors with (tn, fn, fp); weights are actual
     # class supports.
     e = agg.select(
-        F.lit(run).alias("run"), "n", "tp", "fp", "fn", "tn",
+        "run", "n", "tp", "fp", "fn", "tn",
         (F.col("tp") + F.col("fn")).alias("_sy"),
         (F.col("tn") + F.col("fp")).alias("_sn"),
     )
@@ -97,26 +120,6 @@ def _run_scores(clusters: DataFrame, run: int, sampling_rate: float) -> DataFram
         (r_yes * wy + r_no * wn).alias("recall"),
         (f_yes * wy + f_no * wn).alias("fscore"),
     )
-
-
-def check_acceptance_distribution(
-    clusters: DataFrame,
-    sampling_rate: float = 0.2,
-    number_of_runs: int = 20,
-) -> DataFrame:
-    """``number_of_runs`` seeded sampled acceptance measurements → one row each.
-
-    Reference quality_metrics.py:344-365. Input: (unique_id, blocking_key,
-    cluster_id, ground_truth).
-    """
-    # every run re-reads the same cluster table; materialize it once so the
-    # (possibly expensive) upstream resolve/join subtree doesn't re-execute
-    # number_of_runs times (ContextCleaner reclaims the checkpoint blocks)
-    clusters = clusters.localCheckpoint(eager=True)
-    out = _run_scores(clusters, 0, sampling_rate)
-    for r in range(1, number_of_runs):
-        out = out.unionByName(_run_scores(clusters, r, sampling_rate))
-    return out
 
 
 def calculate_improvements(

@@ -117,3 +117,32 @@ def test_incremental_blocks_deterministic_order(spark):
     out = dict((r[0], r[2]) for r in o1)
     # scan order is id order: r1 founds, r2 joins (cos≈0.998), r3 founds
     assert out["r1"] == "r1" and out["r2"] == "r1" and out["r3"] == "r3"
+
+
+def test_incremental_numeric_order_col_sorts_natively(spark):
+    """A numeric ingest-sequence order column must scan 999 before 1000 —
+    a string cast would sort "1000" < "999" and reorder the walk."""
+    rows = [
+        ("late", "blk", [0.0, 1.0], 1000),
+        ("early", "blk", [1.0, 0.0], 999),
+    ]
+    df = spark.createDataFrame(rows, ["unique_id", "blocking_key", "vec", "seq"])
+    out = dict(
+        (r["unique_id"], r["cluster_id"])
+        for r in incremental_cluster_blocks(
+            df, "vec", order_col="seq", threshold=0.99
+        ).collect()
+    )
+    # both found their own cluster; the founder ids prove the scan order
+    assert out == {"early": "early", "late": "late"}
+    # orthogonal vectors: the SECOND record founds cluster index 1 — with the
+    # right order that is "late"; verify via a joining third record
+    rows2 = rows + [("tie", "blk", [1.0, 0.0], 1001)]
+    df2 = spark.createDataFrame(rows2, ["unique_id", "blocking_key", "vec", "seq"])
+    out2 = dict(
+        (r["unique_id"], r["cluster_id"])
+        for r in incremental_cluster_blocks(
+            df2, "vec", order_col="seq", threshold=0.9
+        ).collect()
+    )
+    assert out2["tie"] == "early"  # joins the cluster founded by seq=999
