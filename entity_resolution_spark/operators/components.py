@@ -145,7 +145,7 @@ def connected_components(
     # persist BEFORE the sizing count: the input subtree (often an expensive
     # similarity join) would otherwise execute twice — once for count(), once
     # for the eager checkpoint that seeds the loop. NO distinct() here: the
-    # union-find kernel tolerates duplicate edges natively (np.unique over
+    # union-find kernel tolerates duplicate edges natively (factorize over
     # endpoints), so the raw count is a valid (upper-bound) path selector and
     # the small path skips a whole shuffle barrier; the distributed loop
     # dedupes below since every star round's cost scales with |E|.
