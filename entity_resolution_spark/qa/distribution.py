@@ -111,7 +111,11 @@ def check_acceptance_distribution(
     r_no = _safe(F.col("tn"), F.col("tn") + F.col("fp"))
     f_yes = _safe(2 * p_yes * r_yes, p_yes + r_yes)
     f_no = _safe(2 * p_no * r_no, p_no + r_no)
-    wy, wn = F.col("_sy") / F.col("n"), F.col("_sn") / F.col("n")
+    # class weights guarded like every other ratio: a run whose every block
+    # floors to 0 sampled pairs has n=0, and a bare division would raise
+    # DIVIDE_BY_ZERO under ANSI mode instead of reporting the zeroed row
+    wy = _safe(F.col("_sy"), F.col("n"))
+    wn = _safe(F.col("_sn"), F.col("n"))
     return e.select(
         "run",
         F.col("n").alias("pairs_sampled"),

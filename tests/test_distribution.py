@@ -54,6 +54,24 @@ def test_runs_differ_but_are_deterministic(spark):
     assert len(accs) >= 2  # sampling noise is visible across runs
 
 
+def test_zero_pair_runs_report_zeroed_rows(spark):
+    """Blocks too small to floor to one sampled pair must still yield one row
+    per run, zeroed — not a DIVIDE_BY_ZERO under ANSI mode (the class weights
+    divide by the run's pair count)."""
+    df = spark.createDataFrame(
+        [("a", "b1", "c1", "g1"), ("b", "b1", "c1", "g1")],
+        ["unique_id", "blocking_key", "cluster_id", "ground_truth"],
+    )
+    rows = check_acceptance_distribution(df, sampling_rate=0.1, number_of_runs=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["pairs_sampled"] == 0
+        assert r["accuracy"] == 0.0
+        assert r["precision"] == 0.0
+        assert r["recall"] == 0.0
+        assert r["fscore"] == 0.0
+
+
 def test_calculate_improvements_reference_semantics():
     frame = pd.DataFrame(
         {"f1": [0.8, 0.4], "oc": [0.0, 0.2], "note": ["x", "y"]},
