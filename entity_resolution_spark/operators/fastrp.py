@@ -204,8 +204,18 @@ def fastrp_resolve(
     )
     emb = fastrp_embeddings(edges, dim=dim, proj_weights=proj_weights).persist()
 
-    a = emb.select(F.col("id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("id").alias("id_b"), F.col("embedding").alias("_eb"))
+    # zero-norm embeddings (a node whose neighborhood projection cancels or
+    # zeroes out) carry no direction: exclude them from the cosine join — they
+    # resolve as singletons via the left-join coalesce below — instead of
+    # dividing by zero (an ANSI-mode job failure, and NaN otherwise)
+    norm_col = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda s, v: s + v * v)
+    )
+    ne = emb.select("id", "embedding", norm_col.alias("_n")).where(F.col("_n") > 0)
+    a = ne.select(F.col("id").alias("id_a"), F.col("embedding").alias("_ea"),
+                  F.col("_n").alias("_na"))
+    b = ne.select(F.col("id").alias("id_b"), F.col("embedding").alias("_eb"),
+                  F.col("_n").alias("_nb"))
     # all-pairs cosine within the (already block-bounded) embedded set; the
     # n² stays inside blocks because `records` is per-block in the combiner
     # contract (identical to the reference, which densifies per block).
@@ -214,10 +224,9 @@ def fastrp_resolve(
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + v * v))  # noqa: E731
     sim_edges = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (norm(F.col("_ea")) * norm(F.col("_eb")))).alias("sim"))
+        .select("id_a", "id_b", (dot / (F.col("_na") * F.col("_nb"))).alias("sim"))
         .where(F.col("sim") > th)
     )
     labels = connected_components(sim_edges, "id_a", "id_b")

@@ -178,15 +178,24 @@ def gcn_resolve(
     n = emb.count()
     eff_th = th + (LARGE_CLUSTER_TH_BUMP_UP if n > LARGE_CLUSTER_LIMIT else 0.0)
 
-    a = emb.select(F.col("id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("id").alias("id_b"), F.col("embedding").alias("_eb"))
+    # zero-norm embeddings (all-zero input features through LeakyReLU can
+    # yield an all-zero h) carry no direction: exclude them from the cosine
+    # join — they resolve as singletons via the left-join coalesce below —
+    # instead of dividing by zero (an ANSI-mode job failure, NaN otherwise)
+    norm_col = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda s, v: s + v * v)
+    )
+    ne = emb.select("id", "embedding", norm_col.alias("_n")).where(F.col("_n") > 0)
+    a = ne.select(F.col("id").alias("id_a"), F.col("embedding").alias("_ea"),
+                  F.col("_n").alias("_na"))
+    b = ne.select(F.col("id").alias("id_b"), F.col("embedding").alias("_eb"),
+                  F.col("_n").alias("_nb"))
     dot = F.aggregate(
         F.zip_with("_ea", "_eb", lambda u, v: u * v), F.lit(0.0), lambda s, v: s + v
     )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + v * v))  # noqa: E731
     sim_edges = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (norm(F.col("_ea")) * norm(F.col("_eb")))).alias("sim"))
+        .select("id_a", "id_b", (dot / (F.col("_na") * F.col("_nb"))).alias("sim"))
         .where(F.col("sim") > eff_th)
     )
     labels = connected_components(sim_edges, "id_a", "id_b")

@@ -92,3 +92,27 @@ def test_gcn_resolve_null_feature_row_is_singleton(spark):
     }
     assert out["a"] == out["b"]
     assert out["z"] == "z"  # null-featured: no embedding, singleton
+
+
+def test_gcn_resolve_zero_feature_vectors_are_singletons(spark):
+    """Regression: all-zero feature vectors produce a zero-norm embedding
+    (0·W through LeakyReLU is 0); the cosine join must exclude them — ANSI
+    mode turns the norm division into a job-failing DIVIDE_BY_ZERO — and the
+    records resolve as singletons."""
+    rows = [
+        # a/b form their own token component: every input feature in it is
+        # zero, so self AND neighbor terms are zero → zero-norm embeddings
+        ("a", ["t1", "t2"], [0.0, 0.0, 0.0, 0.0]),
+        ("b", ["t1", "t2"], [0.0, 0.0, 0.0, 0.0]),
+        ("c", ["t8", "t9"], [1.0, 2.0, 0.0, 0.0]),
+        ("d", ["t8", "t9"], [1.0, 2.0, 0.0, 0.0]),
+    ]
+    recs = spark.createDataFrame(
+        rows, "unique_id string, toks array<string>, emb array<double>"
+    )
+    out = {
+        r["unique_id"]: r["cluster_id"]
+        for r in gcn_resolve(recs, ["toks"], "emb", th=0.5).collect()
+    }
+    assert out["a"] == "a" and out["b"] == "b"  # zero-norm: singletons
+    assert out["c"] == out["d"]                  # normal rows still cluster
