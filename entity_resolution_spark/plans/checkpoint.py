@@ -65,6 +65,14 @@ class CheckpointStore:
         lineage is cut at the stage boundary (the cluster analog of the reference's
         cache collection)."""
         t0 = time.monotonic()
+        # invalidate BEFORE overwriting: the overwrite deletes the old stage
+        # dir first, so a crash mid-write would otherwise leave the stale
+        # lineage sidecar pointing `has()` at a corrupt/partial directory —
+        # the resume would silently read it. With the sidecar gone first, any
+        # interrupted write simply recomputes the stage on the next run.
+        lp = self._lineage_path(stage)
+        if os.path.exists(lp):
+            os.remove(lp)
         df.write.mode("overwrite").parquet(self._dir(stage))
         wall = time.monotonic() - t0
         out = self.read(stage)

@@ -97,3 +97,30 @@ def test_concurrent_stage_submission_identical_clusters(spark):
         )
         release(out)
     assert outs[0] == outs[1]
+
+
+def test_interrupted_rewrite_invalidates_stale_checkpoint(spark, tmp_path):
+    """A crash mid-overwrite must not leave `has()` pointing at the stage it
+    was replacing: the lineage sidecar is removed before the parquet overwrite
+    begins, so an interrupted write forces a recompute instead of a silent
+    read of a corrupt/partial directory."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    df = spark.range(10).select(F.col("id"))
+    store.write("stage_a", df, input_signature="v1")
+    assert store.has("stage_a", "v1")
+
+    # a frame whose evaluation fails mid-write simulates the crash
+    bad = spark.range(4).select((F.lit(1) / (F.col("id") - 2)).alias("x"))
+    with pytest.raises(Exception):
+        store.write("stage_a", bad, input_signature="v2")
+    assert not store.has("stage_a", "v1")
+    assert not store.has("stage_a", "v2")
+
+    # the store recovers: the next get_or_compute recomputes cleanly
+    out = store.get_or_compute("stage_a", lambda: df, input_signature="v1")
+    assert out.count() == 10
