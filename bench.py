@@ -197,7 +197,7 @@ def main() -> int:
                 print(f"# {name}[{rep}]: {dt:.2f}s rows={n}", file=sys.stderr)
             except Exception as e:  # keep the harness robust: one bad query ≠ no bench
                 print(f"# {name}[{rep}]: ERROR {e}", file=sys.stderr)
-    # Tie-breaker rep: when a query's two samples disagree by >1.8× and the
+    # Tie-breaker rep: when a query's two samples disagree by >1.5× and the
     # better one still costs >2s, BOTH probably landed in one neighbor burst
     # (this host's bursts last minutes — long enough to straddle two passes of
     # a ~2-min suite). One more spaced sample bounds the damage to the noise
