@@ -32,7 +32,9 @@ RAW_ENTITY_SCHEMA = (
     "data struct<"
     "names: array<struct<name: string, name_type: string>>, "
     "births: array<struct<min_date: string, max_date: string>>, "
-    "locations: array<struct<country_code: string, original_name: string>>"
+    "locations: array<struct<country_code: string, original_name: string>>, "
+    "nationalities: array<struct<country_code: string>>, "
+    "aml_types: array<struct<aml_type: string>>"
     ">"
 )
 
@@ -212,10 +214,93 @@ def country_code_features(
     return df.select("*", F.when(has, ccs).alias(out_col))
 
 
+def nationality_features(
+    df: DataFrame, parsed_col: str = "ent", out_col: str = "nationalities"
+) -> DataFrame:
+    """NATIONALITIES column (``NationalityVisitor``, common.py:591-606):
+    distinct country codes of ``data.nationalities``; absent/empty -> null."""
+    ent = F.col(parsed_col)
+    nats = ent["data"]["nationalities"]
+    ccs = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(nats, lambda n: n["country_code"]),
+                lambda c: c.isNotNull(),
+            )
+        )
+    )
+    has = nats.isNotNull() & (F.size(nats) > 0)
+    return df.select("*", F.when(has, ccs).alias(out_col))
+
+
+def aml_type_features(
+    df: DataFrame, parsed_col: str = "ent", out_col: str = "aml_types"
+) -> DataFrame:
+    """AML_TYPES column (``AmlTypeVisitor``, common.py:609-630): distinct
+    non-null ``aml_type`` values of ``data.aml_types``; absent -> null."""
+    ent = F.col(parsed_col)
+    amls = ent["data"]["aml_types"]
+    vals = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(amls, lambda a: a["aml_type"]),
+                lambda v: v.isNotNull(),
+            )
+        )
+    )
+    return df.select("*", F.when(amls.isNotNull(), vals).alias(out_col))
+
+
+_FATHER_DENOMS = ("ben", "s/o")  # common.py:639 FATHERS_DENOMINATIONS
+
+
+def fathers_phonetics(aliases: Column) -> Column:
+    """FATHER_PHONETIC values from an alias array (``FathersNamesFromAlias``,
+    common.py:633-666): in each alias, a paternal denominator ('ben', 's/o')
+    anywhere before the LAST token marks the remaining tokens as the father's
+    name — keyword-tokenize it, soundex each token, '+'-join. Distinct sorted
+    across aliases × denominators."""
+
+    def one(alias: Column, fd: str) -> Column:
+        toks = F.split(F.lower(alias), " ")
+        n = F.size(toks)
+        # first occurrence within toks[:-1] (1-based; 0 = not found) — the
+        # reference checks `fd in alias_toks[:-1]` then takes list.index(fd)
+        pos = F.array_position(F.slice(toks, 1, F.greatest(n - 1, F.lit(0))), fd)
+        father = F.concat_ws(" ", F.slice(toks, pos + 1, n))
+        return F.when(
+            pos > 0, F.concat_ws("+", phonetic_tokens(keyword_tokens(father)))
+        ).otherwise(F.lit(None).cast("string"))
+
+    cands = F.flatten(
+        F.transform(
+            aliases,
+            lambda a: F.array(*[one(a, fd) for fd in _FATHER_DENOMS]),
+        )
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(cands, lambda p: p.isNotNull()))
+    )
+
+
+def father_phonetic_features(
+    df: DataFrame, alias_col: str = "alias", out_col: str = "father_phonetic"
+) -> DataFrame:
+    """FATHER_PHONETIC column over the extracted alias array; null aliases
+    (no ``data.names``) stay null like the other sanction features."""
+    a = F.col(alias_col)
+    return df.select(
+        "*", F.when(a.isNotNull(), fathers_phonetics(a)).alias(out_col)
+    )
+
+
 def sanction_features(df: DataFrame, json_col: str = "raw_entity") -> DataFrame:
     """The full visitor chain over a raw-entity JSON column — one projection."""
     out = parse_raw_entity(df, json_col)
     out = alias_features(out)
     out = birth_features(out)
     out = country_code_features(out)
+    out = nationality_features(out)
+    out = aml_type_features(out)
+    out = father_phonetic_features(out)
     return out.drop("ent")

@@ -757,6 +757,50 @@ FROM kw
 # term + selected-text visitors, sampled acceptance distribution)
 # ---------------------------------------------------------------------------
 
+def q_name_commonness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-commonness scoring (reference ``name_commonness.py:57-120``) over
+    the part names: token-frequency table from the same corpus, per-name
+    commonness = ∏ token counts / total^n. The hashed output carries the
+    INTEGER numerator (product of counts; 0 when a token is missing or
+    repeated — the reference's guard) so no float crosses the oracle hash."""
+    from entity_resolution_spark.operators.commonness import (
+        name_commonness_scores,
+        token_frequency_table,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    freq = token_frequency_table(p, "p_name")
+    total = p.count()
+    return name_commonness_scores(
+        p, freq, total, name_col="p_name", id_col="p_partkey"
+    ).select("p_partkey", "n_tokens", "commonness_num")
+
+
+SQL_NAME_COMMONNESS_PARTS = r"""
+WITH tok AS (
+  SELECT p_partkey,
+         list_filter(regexp_split_to_array(lower(p_name), '\s+'),
+                     t -> t <> '') AS toks
+  FROM part
+), freq AS (
+  SELECT t AS word_token, count(*) AS no_of_tokens
+  FROM (SELECT p_partkey, unnest(list_distinct(toks)) AS t FROM tok)
+  GROUP BY t
+), x AS (
+  SELECT p_partkey, len(toks) AS n, unnest(list_distinct(toks)) AS word_token
+  FROM tok
+), m AS (
+  SELECT p_partkey, n, count(*) AS hits, product(no_of_tokens::DOUBLE) AS prod
+  FROM x JOIN freq USING (word_token) GROUP BY 1, 2
+)
+SELECT tok.p_partkey,
+       CAST(len(tok.toks) AS INT) AS n_tokens,
+       CAST(coalesce(CASE WHEN m.hits = m.n THEN m.prod ELSE 0 END, 0) AS BIGINT)
+         AS commonness_num
+FROM tok LEFT JOIN m USING (p_partkey)
+"""
+
+
 def q_fastrp_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastRP embedding similarity over the token-adjacency graph, ORACLE-EXACT:
     the projection rows use a portable md5-hex hash (identical in Spark and
@@ -1047,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
+    "name_commonness_parts": q_name_commonness_parts,
     "fastrp_cosine_docs": q_fastrp_cosine_docs,
     "selected_text_docs": q_selected_text_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -1078,6 +1123,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     "sanction_features": SQL_SANCTION_FEATURES,
+    "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,
     "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
     "selected_text_docs": SQL_SELECTED_TEXT_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:

@@ -118,3 +118,49 @@ def test_missing_sections_are_null_and_extra_json_tolerated(spark):
     (r,) = _extract(spark, [ent])
     for c in ("alias", "primary", "yob", "yob_known", "dob", "country_code"):
         assert r[c] is None
+
+
+def test_nationality_and_aml_type_extractors(spark):
+    """NationalityVisitor (common.py:591-606) + AmlTypeVisitor (609-630):
+    distinct codes/types, nulls dropped, absent/empty sections -> null."""
+    ents = [
+        {"data": {
+            "nationalities": [
+                {"country_code": "IR"}, {"country_code": "RU"},
+                {"country_code": "IR"},
+            ],
+            "aml_types": [
+                {"aml_type": "sanction"}, {"aml_type": None},
+                {"aml_type": "pep"}, {"aml_type": "sanction"},
+            ],
+        }},
+        {"data": {"nationalities": [], "aml_types": None}},
+        {"data": {}},
+    ]
+    r0, r1, r2 = _extract(spark, ents)
+    assert r0["nationalities"] == ["IR", "RU"]
+    assert r0["aml_types"] == ["pep", "sanction"]
+    assert r1["nationalities"] is None  # empty list -> no feature (reference)
+    assert r1["aml_types"] is None
+    assert r2["nationalities"] is None and r2["aml_types"] is None
+
+
+def test_fathers_phonetics_from_alias(spark):
+    """FathersNamesFromAlias (common.py:633-666): a 'ben' / 's/o' denominator
+    before the last token marks the suffix as the father's name; phonetics are
+    '+'-joined soundex of its keyword tokens. Hand-computed soundex goldens:
+    hassan=H250, omar=O560, karim=K650."""
+    ents = [
+        {"data": {"names": [
+            {"name": "Abu Ali ben Hassan Omar", "name_type": "primary"},
+            {"name": "Rahim s/o Karim", "name_type": "aka"},
+            {"name": "Ariel Ben", "name_type": "aka"},     # fd is LAST token: no hit
+            {"name": "Plain Name", "name_type": "aka"},
+        ]}},
+        {"data": {"names": [{"name": "No Father Here", "name_type": "primary"}]}},
+        {"data": {}},
+    ]
+    r0, r1, r2 = _extract(spark, ents)
+    assert r0["father_phonetic"] == ["H250+O560", "K650"]
+    assert r1["father_phonetic"] == []
+    assert r2["father_phonetic"] is None  # no names section -> absent
