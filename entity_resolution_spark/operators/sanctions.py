@@ -22,6 +22,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,7 +35,8 @@ RAW_ENTITY_SCHEMA = (
     "births: array<struct<min_date: string, max_date: string>>, "
     "locations: array<struct<country_code: string, original_name: string>>, "
     "nationalities: array<struct<country_code: string>>, "
-    "aml_types: array<struct<aml_type: string>>"
+    "aml_types: array<struct<aml_type: string>>, "
+    "display_fields: array<struct<title: string, value: string>>"
     ">"
 )
 
@@ -303,4 +305,189 @@ def sanction_features(df: DataFrame, json_col: str = "raw_entity") -> DataFrame:
     out = nationality_features(out)
     out = aml_type_features(out)
     out = father_phonetic_features(out)
+    return out.drop("ent")
+
+
+# ---------------------------------------------------------------------------
+# Organisation-type visitors (reference features/organisation_visitors.py and
+# vectorisation.JsonSummarizer) — same contract-schema projection style.
+# ---------------------------------------------------------------------------
+
+# JsonSummarizer's display-field ALLOWLIST (misleadingly named *_blocks in the
+# reference — titles IN the set are kept, vectorisation.py:253-334).
+JSON_SUMMARY_TITLES: frozenset[str] = frozenset({
+    "Amended On", "Designation Act", "Function", "Other Information",
+    "Program", "Related Url", "Designation Date", "Issuing Authority",
+    "Listing Id", "Title", "Listing Origin", "Reason", "Sanction Type",
+    "Un Listing Id", "Additional", "Other Info", "Citizenship", "List Id",
+    "Address", "Identification Number", "List Name", "Enforcement Agency",
+    "Legal Basis", "Position", "Regime", "Removal Date", "Remark", "Role",
+    "Registration Number", "Zip Code", "Height", "NI Number",
+    "Ofsi Listing Id", "Sanctions Type", "Unique Id",
+    "Designating Authority", "Declaration", "Description", "Regulation",
+    "Comments", "Program Entry", "UN List Type", "OFAC ID", "Programs",
+    "Additional Sanctions Information", "Designation", "Justification",
+    "Known Addresses", "Basis", "Committees", "ROSFIN Description",
+    "Ministerial Decision Date", "Source", "Additional Information",
+    "Listing Information", "National ID No", "Special Economic Measure Act",
+    "National Id", "Addresses", "Date Listed", "Language",
+    "Contact Details", "Digital Currency Address", "Document ID",
+    "Cedula No", "National Register Number", "Listing Category", "SSN",
+    "Birthplace", "Programme",
+})
+
+
+def json_summary_features(
+    df: DataFrame, parsed_col: str = "ent", out_col: str = "full_text"
+) -> DataFrame:
+    """FULL_TEXT column (``JsonSummarizer``, vectorisation.py:247-339):
+    '.'-join of allowlisted display-field values in array order; absent
+    ``display_fields`` -> '' (the reference iterates an empty list)."""
+    ent = F.col(parsed_col)
+    dfs = F.coalesce(
+        ent["data"]["display_fields"],
+        F.array().cast("array<struct<title:string,value:string>>"),
+    )
+    titles = F.array(*[F.lit(t) for t in sorted(JSON_SUMMARY_TITLES)])
+    vals = F.transform(
+        F.filter(dfs, lambda r: F.array_contains(titles, r["title"])),
+        lambda r: r["value"],
+    )
+    return df.select("*", F.array_join(vals, ".").alias(out_col))
+
+
+# the reference's punctuation splitter for display-field/org-name tokens
+# (organisation_visitors.py:14)
+_ORG_SPLIT = r"(,|/|\)|\(|\.|-|;|`|')"
+
+
+def _display_field_tokens(ent: Column, title: str) -> Column:
+    """All whitespace tokens of every display field with the given title
+    (``_extract_identifiers``'s token stream, organisation_visitors.py:45-56)."""
+    dfs = F.coalesce(
+        ent["data"]["display_fields"],
+        F.array().cast("array<struct<title:string,value:string>>"),
+    )
+    vals = F.transform(
+        F.filter(
+            dfs,
+            lambda r: (r["title"] == F.lit(title)) & r["value"].isNotNull(),
+        ),
+        lambda r: F.split(F.regexp_replace(r["value"], _ORG_SPLIT, " "), " "),
+    )
+    return F.flatten(vals)
+
+
+def org_identifier_features(
+    df: DataFrame, parsed_col: str = "ent"
+) -> DataFrame:
+    """ORG_IDS + DESIGNATION_YEAR columns (``OrganisationIdentifiersVisitor``,
+    organisation_visitors.py:25-69):
+
+    - ``org_ids``: 'Registration Number' tokens of length ≥ 5 whose tail past
+      the first two chars is numeric, excluding the '1001' exception suffix;
+    - ``designation_year``: 4-digit numeric tokens of 'Designation Date'.
+
+    (ASCII digits; the reference's str.isnumeric also admits unicode digits —
+    not present in sanction feeds.) Sorted distinct arrays; entities without
+    a ``data`` section keep nulls.
+    """
+    ent = F.col(parsed_col)
+    reg = _display_field_tokens(ent, "Registration Number")
+    ids = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                reg,
+                lambda t: (F.length(t) >= 5)
+                & F.substring(t, 3, 1 << 30).rlike("^[0-9]+$")
+                & ~t.endswith("1001"),
+            )
+        )
+    )
+    des = _display_field_tokens(ent, "Designation Date")
+    years = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(des, lambda t: t.rlike("^[0-9]{4}$")),
+                lambda t: t.cast("int"),
+            )
+        )
+    )
+    has = ent["data"].isNotNull()
+    return df.select(
+        "*",
+        F.when(has, ids).alias("org_ids"),
+        F.when(has, years).alias("designation_year"),
+    )
+
+
+_ORG_ALIAS_STOPWORDS = {"ltd", "llc", "lcc", "inc", "corp", "corporation", "company"}
+
+
+def org_alias_keyword_variants(name: str) -> list[str]:
+    """``OrganisationAliasVisitor._convert_to_keyword_tokens``
+    (organisation_visitors.py:86-115), minus unidecode (ASCII corpora; a
+    production deployment puts an ICU transliteration in front): bounded
+    recursion over bracket groups and 'a.k.a.' splits, then a '+'-joined
+    sorted token variant of the current form (numeric tokens kept, short and
+    org-stopword tokens dropped; token multiplicity preserved in the join)."""
+    import re as _re
+
+    out: list[str] = []
+    name = name.lower()
+    name = _re.sub(r"({|\[)", "(", name)
+    name = _re.sub(r"(}|])", ")", name)
+    if "(" in name and ")" in name.split("(")[1]:
+        str_inx = name.index("(")
+        end_inx = str_inx + name.split("(")[1].index(")") + 2
+        out += org_alias_keyword_variants(name[:str_inx] + name[end_inx:])
+    if "a.k.a." in name:
+        inx = name.index("a.k.a.")
+        out += org_alias_keyword_variants(name[:inx])
+        out += org_alias_keyword_variants(name[inx + 6:])
+    name = _re.sub(r"&", " and ", name)
+    toks = _re.sub(_ORG_SPLIT, " ", name).split(" ")
+    toks = [
+        t
+        for t in toks
+        if t.isnumeric() or (len(t) > 2 and t not in _ORG_ALIAS_STOPWORDS)
+    ]
+    if toks:
+        out.append("+".join(sorted(toks)))
+    return out
+
+
+def org_alias_features(
+    df: DataFrame, alias_col: str = "alias", out_col: str = "org_alias_keyword"
+) -> DataFrame:
+    """ORG ALIAS_KEYWORD column (``OrganisationAliasVisitor.visit_sanction``,
+    organisation_visitors.py:117-129): union of keyword variants across all
+    aliases, distinct sorted. The bracket/a.k.a. recursion is bounded string
+    work on short names — an Arrow-batched kernel, not a JVM expression."""
+
+    @F.pandas_udf("array<string>")
+    def _variants(aliases: pd.Series) -> pd.Series:
+        def per_row(arr):
+            if arr is None:
+                return None
+            seen: list[str] = []
+            for a in arr:
+                for v in org_alias_keyword_variants(a):
+                    if v not in seen:
+                        seen.append(v)
+            return sorted(seen)
+
+        return pd.Series([per_row(a) for a in aliases])
+
+    return df.select("*", _variants(F.col(alias_col)).alias(out_col))
+
+
+def org_sanction_features(df: DataFrame, json_col: str = "raw_entity") -> DataFrame:
+    """The organisation-type visitor chain (organisation_visitors.py +
+    JsonSummarizer) over a raw-entity JSON column."""
+    out = parse_raw_entity(df, json_col)
+    out = alias_features(out)
+    out = json_summary_features(out)
+    out = org_identifier_features(out)
+    out = org_alias_features(out)
     return out.drop("ent")

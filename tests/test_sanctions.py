@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import json
 
-from entity_resolution_spark.operators.sanctions import sanction_features
+from entity_resolution_spark.operators.sanctions import (
+    org_alias_keyword_variants,
+    org_sanction_features,
+    sanction_features,
+)
 
 
 def _extract(spark, raw_entities):
@@ -164,3 +168,82 @@ def test_fathers_phonetics_from_alias(spark):
     assert r0["father_phonetic"] == ["H250+O560", "K650"]
     assert r1["father_phonetic"] == []
     assert r2["father_phonetic"] is None  # no names section -> absent
+
+
+def _extract_org(spark, raw_entities):
+    df = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(raw_entities)],
+        "id int, raw_entity string",
+    )
+    rows = org_sanction_features(df).orderBy("id").collect()
+    return [r.asDict() for r in rows]
+
+
+def test_org_alias_keyword_variants_reference_golden():
+    """Hand-traced recursion of ``_convert_to_keyword_tokens``
+    (organisation_visitors.py:86-115) on the reference's own docstring example
+    shape: brackets strip first, then the a.k.a. split, then the full form."""
+    out = org_alias_keyword_variants("Big Fat Shop [BFS] a.k.a. Fat Shop Ltd")
+    assert out == [
+        "big+fat+shop",              # bracket-stripped, pre-a.k.a.
+        "fat+shop",                  # bracket-stripped, post-a.k.a. (ltd dropped)
+        "big+fat+fat+shop+shop",     # bracket-stripped full form (multiplicity kept)
+        "big+fat+shop",              # pre-a.k.a. of the bracketed form, de-bracketed
+        "bfs+big+fat+shop",          # pre-a.k.a. with bracket token inlined
+        "fat+shop",                  # post-a.k.a. of the bracketed form
+        "bfs+big+fat+fat+shop+shop", # full form with bracket token inlined
+    ]
+    # numerics kept, 2-char and stopword tokens dropped
+    assert org_alias_keyword_variants("4 Seasons Co 2020") == ["2020+4+seasons"]
+    # all tokens filtered -> no variant at all (unlike person-alias fallback)
+    assert org_alias_keyword_variants("A B Co") == []
+
+
+def test_org_visitors_end_to_end(spark):
+    """JsonSummarizer + OrganisationIdentifiersVisitor + OrganisationAliasVisitor
+    over raw-entity JSON (vectorisation.py:247-339, organisation_visitors.py:25-129)."""
+    ents = [
+        {"data": {
+            "names": [
+                {"name": "Big Fat Shop [BFS] a.k.a. Fat Shop Ltd",
+                 "name_type": "primary"},
+            ],
+            "display_fields": [
+                {"title": "Program", "value": "SDGT"},
+                {"title": "Not A Real Title", "value": "dropme"},
+                {"title": "Address", "value": "123 Main St"},
+                {"title": "Registration Number", "value": "AB12345, C-98765"},
+                {"title": "Registration Number", "value": "XY1001 789012"},
+                {"title": "Designation Date", "value": "2017-05-12"},
+                {"title": "Designation Date", "value": "12 Jan 2009"},
+            ],
+        }},
+        {"data": {"names": [{"name": "Plainco", "name_type": "primary"}]}},
+        {"other": {}},  # no data section
+    ]
+    r0, r1, r2 = _extract_org(spark, ents)
+
+    # FULL_TEXT: allowlisted values '.'-joined in array order (Registration
+    # Number and Designation Date ARE in the allowlist).
+    assert r0["full_text"] == (
+        "SDGT.123 Main St.AB12345, C-98765.XY1001 789012.2017-05-12.12 Jan 2009"
+    )
+    assert r1["full_text"] == ""  # absent display_fields -> empty iteration
+
+    # ORG_IDS: len>=5, tok[2:] numeric, '1001' suffix excluded; split on the
+    # reference punctuation pattern. Sorted distinct (reference keeps a set).
+    assert r0["org_ids"] == ["789012", "98765", "AB12345"]
+    assert r0["designation_year"] == [2009, 2017]
+    assert r1["org_ids"] == [] and r1["designation_year"] == []
+    assert r2["org_ids"] is None and r2["designation_year"] is None
+
+    # ALIAS_KEYWORD: distinct sorted union of the recursion variants.
+    assert r0["org_alias_keyword"] == [
+        "bfs+big+fat+fat+shop+shop",
+        "bfs+big+fat+shop",
+        "big+fat+fat+shop+shop",
+        "big+fat+shop",
+        "fat+shop",
+    ]
+    assert r1["org_alias_keyword"] == ["plainco"]
+    assert r2["org_alias_keyword"] is None
