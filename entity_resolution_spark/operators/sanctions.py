@@ -356,6 +356,50 @@ def json_summary_features(
     return df.select("*", F.array_join(vals, ".").alias(out_col))
 
 
+def sanction_term_features(
+    df: DataFrame,
+    titles: list[str],
+    char_len: int = 2000,
+    parsed_col: str = "ent",
+) -> DataFrame:
+    """TERM feature columns (``SanctionTermVisitor``, sanction_term.py:39-57,
+    ``bypass_translation`` path — the translate path calls an external service
+    and is out of scope like the geography visitors): for each requested
+    display-field title, the sorted distinct set of its values truncated to
+    ``char_len`` chars. Titles match on the reference's normalized form
+    (space->underscore, upper — sanction_term.py:24); output columns are
+    ``term_<normalized lower>``. Null ``data`` -> null features; present
+    ``data`` with no matching fields -> empty arrays (the reference unions
+    with an empty set)."""
+    ent = F.col(parsed_col)
+    dfs = F.coalesce(
+        ent["data"]["display_fields"],
+        F.array().cast("array<struct<title:string,value:string>>"),
+    )
+    has = ent["data"].isNotNull()
+
+    def _term_col(title: str) -> Column:
+        norm = title.replace(" ", "_").upper()
+        vals = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        dfs,
+                        lambda r: (
+                            F.upper(F.translate(r["title"], " ", "_"))
+                            == F.lit(norm)
+                        )
+                        & r["value"].isNotNull(),
+                    ),
+                    lambda r: F.substring(r["value"], 1, char_len),
+                )
+            )
+        )
+        return F.when(has, vals).alias(f"term_{norm.lower()}")
+
+    return df.select("*", *[_term_col(t) for t in titles])
+
+
 # the reference's punctuation splitter for display-field/org-name tokens
 # (organisation_visitors.py:14)
 _ORG_SPLIT = r"(,|/|\)|\(|\.|-|;|`|')"

@@ -751,6 +751,125 @@ FROM kw
 """
 
 
+def q_sanction_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sanction-entity resolution — the reference's production
+    sanction pipeline (``inter-domain.py:3-18``): alias visitors ->
+    ``ConnectedComponentsCombiner`` over shared ALIAS_KEYWORD
+    (``combiners/graph_based.py:12-66``, th=1), plus ``SanctionTermVisitor``
+    (``sanction_term.py:39-57``, bypass-translation, char_len=12 here so the
+    truncation path is exercised).
+
+    Raw entities are synthesized deterministically per customer: every
+    customer carries a ``Syndicate %03d`` alias (custkey % 40) and every third
+    customer additionally bridges through a ``Network %03d`` alias
+    (custkey % 37), so components merge transitively across the two alias
+    families — the oracle's recursive CTE must follow the same bridges.
+
+    Scale shape: keyword-group edges are star-reduced (member -> min custkey
+    of the group) instead of the quadratic all-pairs expansion — O(group)
+    edges per keyword, identical CC labels; the group-by and join shuffle on
+    the keyword only."""
+    from entity_resolution_spark.operators.sanctions import (
+        alias_features,
+        parse_raw_entity,
+        sanction_term_features,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    syn = F.format_string("Syndicate %03d", (k % 40).cast("int"))
+    net = F.format_string("Network %03d", (k % 37).cast("int"))
+    names = F.filter(
+        F.array(
+            F.struct(F.col("c_name").alias("name"), F.lit("primary").alias("name_type")),
+            F.struct(syn.alias("name"), F.lit("aka").alias("name_type")),
+            F.when(
+                k % 3 == 0,
+                F.struct(net.alias("name"), F.lit("aka").alias("name_type")),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    display_fields = F.array(
+        F.struct(
+            F.lit("Other Information").alias("title"),
+            F.concat_ws(" ", "c_mktsegment", "c_name").alias("value"),
+        ),
+        F.struct(
+            F.lit("Unrequested Title").alias("title"),
+            F.col("c_mktsegment").alias("value"),
+        ),
+    )
+    raw = c.select(
+        "c_custkey",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    names.alias("names"), display_fields.alias("display_fields")
+                ).alias("data")
+            )
+        ).alias("raw_entity"),
+    )
+    feats = sanction_term_features(
+        alias_features(parse_raw_entity(raw)), ["Other Information"], char_len=12
+    )
+    base = feats.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "alias_keyword",
+        "term_other_information",
+    )
+    kw = base.select("c_custkey", F.explode("alias_keyword").alias("kw"))
+    hubs = kw.groupBy("kw").agg(F.min("c_custkey").alias("hub"))
+    edges = (
+        kw.join(hubs, "kw")
+        .where(F.col("c_custkey") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("c_custkey").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        base.join(comp, base["c_custkey"] == comp["id"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", "c_custkey").cast("long").alias("entity_id"),
+            F.array_join("term_other_information", "|").alias("terms_cat"),
+        )
+    )
+
+
+SQL_SANCTION_RESOLVE = r"""
+WITH RECURSIVE base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         substr(c_mktsegment || ' ' || c_name, 1, 12) AS term,
+         c_custkey % 40 AS syn,
+         c_custkey % 37 AS net,
+         (c_custkey % 3 = 0) AS bridged
+  FROM customer
+), kw AS (
+  -- primary-name keywords are unique per customer (no edges); only the
+  -- synthesized alias families create keyword groups
+  SELECT id, 'S' || lpad(CAST(syn AS VARCHAR), 3, '0') AS kw FROM base
+  UNION ALL
+  SELECT id, 'N' || lpad(CAST(net AS VARCHAR), 3, '0') FROM base WHERE bridged
+), hubs AS (
+  SELECT kw, min(id) AS hub FROM kw GROUP BY kw
+), e AS (
+  SELECT h.hub AS src, k.id AS dst
+  FROM kw k JOIN hubs h USING (kw) WHERE k.id <> h.hub
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(src, dst) AS (
+  SELECT id, id FROM base
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), labels AS (
+  SELECT src AS id, min(dst) AS entity_id FROM reach GROUP BY src
+)
+SELECT b.id AS c_custkey, l.entity_id, b.term AS terms_cat
+FROM base b JOIN labels l USING (id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph-embedding / per-block combiner queries (SURVEY §2.5/§2.7 rows flipped
 # in round 3: FastRP, spectral, k-means, incremental, colour splitter, GCN,
@@ -1091,6 +1210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
+    "sanction_resolve": q_sanction_resolve,
     "name_commonness_parts": q_name_commonness_parts,
     "fastrp_cosine_docs": q_fastrp_cosine_docs,
     "selected_text_docs": q_selected_text_docs,
@@ -1123,6 +1243,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     "sanction_features": SQL_SANCTION_FEATURES,
+    "sanction_resolve": SQL_SANCTION_RESOLVE,
     "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,
     "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
     "selected_text_docs": SQL_SELECTED_TEXT_DOCS,

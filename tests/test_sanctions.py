@@ -10,7 +10,9 @@ import json
 from entity_resolution_spark.operators.sanctions import (
     org_alias_keyword_variants,
     org_sanction_features,
+    parse_raw_entity,
     sanction_features,
+    sanction_term_features,
 )
 
 
@@ -247,3 +249,33 @@ def test_org_visitors_end_to_end(spark):
     ]
     assert r1["org_alias_keyword"] == ["plainco"]
     assert r2["org_alias_keyword"] is None
+
+
+def test_sanction_term_visitor_reference_golden(spark):
+    """``SanctionTermVisitor`` bypass-translation path (sanction_term.py:14-57):
+    requested titles match on the normalized space->underscore upper form,
+    values truncate to char_len, duplicates collapse (the reference unions
+    into a set); unrequested titles are ignored; null data -> null feature."""
+    ents = [
+        {"data": {"display_fields": [
+            {"title": "Other Information", "value": "first note that is long"},
+            {"title": "other information", "value": "second"},  # normalized match
+            {"title": "Function", "value": "treasurer"},
+            {"title": "Unrequested", "value": "dropme"},
+            {"title": "Other Information", "value": "second"},  # dup collapses
+        ]}},
+        {"data": {}},       # no display_fields -> empty sets
+        {"other": {}},      # no data -> absent features
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(ents)],
+        "id int, raw_entity string",
+    )
+    out = sanction_term_features(
+        parse_raw_entity(df), ["Other Information", "Function"], char_len=10
+    )
+    r0, r1, r2 = [r.asDict() for r in out.orderBy("id").collect()]
+    assert r0["term_other_information"] == ["first note", "second"]
+    assert r0["term_function"] == ["treasurer"]
+    assert r1["term_other_information"] == [] and r1["term_function"] == []
+    assert r2["term_other_information"] is None and r2["term_function"] is None
