@@ -45,6 +45,7 @@ HEADLINE = [
     "er_resolve_docs",
     "er_resolve_docs_exact",
     "sanction_features",
+    "sanction_resolve",
     "name_commonness_parts",
     "fastrp_cosine_docs",
     "selected_text_docs",

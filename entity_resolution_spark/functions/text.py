@@ -149,3 +149,36 @@ def path_tokens(col: Column | str) -> Column:
     stem = path_stem(col)
     raw = F.split(F.regexp_replace(stem, r"[0-9]+", ""), r"[^a-z]+")
     return F.array_sort(F.array_distinct(F.filter(raw, lambda t: t != F.lit(""))))
+
+
+def replace_entity_name(
+    text: Column | str, original_name: Column | str, replace_name: Column | str
+) -> Column:
+    """Token-wise entity-name masking (reference ``utils/replace.py:4-32``,
+    used by the synthetic-data provider to swap real names for fakes): each
+    whitespace token of ``original_name`` is replaced case-insensitively in
+    ``text``; a trailing-dot token like ``J.`` matches ``\\bJ\\.`` (dot
+    escaped, no trailing boundary — ``\\b`` after ``.`` would not sit on a
+    word edge), any other token matches ``\\btoken\\b`` so ``john`` never
+    fires inside ``johnson``. Replacements fold sequentially, so a fake name
+    containing a later token is re-replaced — the reference's loop order,
+    reproduced by ``F.aggregate``. Like the reference, regex metacharacters
+    other than the trailing-dot case are NOT escaped (names are expected to
+    be plain words).
+
+    Entirely JVM-side (aggregate over a handful of name tokens; one
+    ``regexp_replace`` each) — no Python in the row path.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    name = F.col(original_name) if isinstance(original_name, str) else original_name
+    repl = F.col(replace_name) if isinstance(replace_name, str) else replace_name
+    toks = F.filter(F.split(name, " "), lambda t: t != F.lit(""))
+
+    def _step(acc: Column, tok: Column) -> Column:
+        escaped = F.regexp_replace(tok, r"\.", r"\\.")
+        pat = F.when(
+            tok.endswith("."), F.concat(F.lit(r"(?i)\b"), escaped)
+        ).otherwise(F.concat(F.lit(r"(?i)\b"), tok, F.lit(r"\b")))
+        return F.regexp_replace(acc, pat, repl)
+
+    return F.aggregate(toks, text, _step)

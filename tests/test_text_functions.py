@@ -59,3 +59,40 @@ def test_fingerprints_deterministic_subset(spark):
     fp2 = df.select(rolling_fingerprints(F.col("tk")).alias("f")).collect()[0]["f"]
     assert fp1 == fp2
     assert all(h % 16 == 0 for h in fp1)
+
+
+def test_replace_entity_name_reference_goldens(spark):
+    """All five goldens from reference test/utils/test_replace.py:4-54:
+    case-insensitive full-token replace, 'J.'-style trailing-dot tokens match
+    without a trailing boundary but never fire on 'Mr.'/'row.', and 'john'
+    never fires inside 'johnson'."""
+    from entity_resolution_spark.functions.text import replace_entity_name
+
+    cases = [
+        ("david is from Martinez family. His dad kept his name david martinez "
+         "and he writes his name as DAVID MARTINEZ",
+         "David Martinez",
+         "Fake_Name is from Fake_Name family. His dad kept his name "
+         "Fake_Name Fake_Name and he writes his name as Fake_Name Fake_Name"),
+        ("Argentine mom hopes pope will help get son off death row.",
+         "John R. Rolater",
+         "Argentine mom hopes pope will help get son off death row."),
+        ("Mr. Rolater's layer Fred Johnson has been consulted.",
+         "John R. Rolater",
+         "Mr. Fake_Name's layer Fred Johnson has been consulted."),
+        ("Mr. John R. Rolater has been suspected of something.",
+         "John R. Rolater",
+         "Mr. Fake_Name Fake_Name Fake_Name has been suspected of something."),
+        ("Mr. John R Rolater has been suspected of something.",
+         "John R. Rolater",
+         "Mr. Fake_Name R Fake_Name has been suspected of something."),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, n) for i, (t, n, _) in enumerate(cases)],
+        "id int, text string, name string",
+    )
+    out = df.select(
+        "id", replace_entity_name("text", "name", F.lit("Fake_Name")).alias("masked")
+    ).orderBy("id").collect()
+    for row, (_, _, want) in zip(out, cases):
+        assert row["masked"] == want
