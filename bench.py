@@ -46,6 +46,8 @@ HEADLINE = [
     "er_resolve_docs_exact",
     "sanction_features",
     "sanction_resolve",
+    "events_windowed_stats",
+    "events_sessionize",
     "name_commonness_parts",
     "fastrp_cosine_docs",
     "selected_text_docs",

@@ -870,6 +870,99 @@ FROM base b JOIN labels l USING (id)
 """
 
 
+def q_events_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup over the ``events`` stream table — the
+    batch twin of the Structured Streaming windowed aggregation in
+    ``streaming/incremental.py`` (same ``F.window`` expression a
+    ``readStream`` plan would use), plus nested-JSON property extraction
+    (``get_json_object`` over the ``props`` payload — the raw-entity JSON
+    digging pattern of the sanction visitors applied to event payloads).
+
+    All hashed outputs are integer-exact: window start as epoch seconds,
+    value summed in cents (the source has 2-decimal values), the JSON ``k``
+    property summed as bigint. Scale shape: one hash shuffle on
+    (window, event_type); partial aggregation map-side."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "sum_k",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED_STATS = r"""
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the ``events`` table: a new session starts
+    after a >30-minute silence per user — the batch twin of Structured
+    Streaming's session windows (``F.session_window``), formulated with lag +
+    running sum so the oracle can replay it exactly. Epochs are floored to
+    whole seconds on both sides (``unix_timestamp`` semantics) so the gap
+    comparison and the hashed outputs are integer-exact.
+
+    Scale shape: one shuffle on user_id for the two window passes, then the
+    session groupBy reuses the same partitioning (no second exchange)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap = F.col("es") - F.lag("es").over(w)
+    sess = e.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("session_start"),
+        (F.max("es") - F.min("es")).alias("duration_sec"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = r"""
+WITH s AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS es
+  FROM events
+), m AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), t AS (
+  SELECT user_id, es,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(es) AS session_start, MAX(es) - MIN(es) AS duration_sec
+FROM t GROUP BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph-embedding / per-block combiner queries (SURVEY §2.5/§2.7 rows flipped
 # in round 3: FastRP, spectral, k-means, incremental, colour splitter, GCN,
@@ -1211,6 +1304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
     "sanction_resolve": q_sanction_resolve,
+    "events_windowed_stats": q_events_windowed_stats,
+    "events_sessionize": q_events_sessionize,
     "name_commonness_parts": q_name_commonness_parts,
     "fastrp_cosine_docs": q_fastrp_cosine_docs,
     "selected_text_docs": q_selected_text_docs,
@@ -1244,6 +1339,8 @@ ORACLES: dict[str, str] = {
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     "sanction_features": SQL_SANCTION_FEATURES,
     "sanction_resolve": SQL_SANCTION_RESOLVE,
+    "events_windowed_stats": SQL_EVENTS_WINDOWED_STATS,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,
     "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
     "selected_text_docs": SQL_SELECTED_TEXT_DOCS,
