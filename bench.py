@@ -46,6 +46,7 @@ HEADLINE = [
     "er_resolve_docs_exact",
     "sanction_features",
     "sanction_resolve",
+    "org_sanction_features",
     "events_windowed_stats",
     "events_sessionize",
     "name_commonness_parts",

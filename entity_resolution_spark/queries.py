@@ -870,6 +870,83 @@ FROM base b JOIN labels l USING (id)
 """
 
 
+def q_org_sanction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organisation-type visitor chain over synthesized raw-entity JSON
+    (``organisation_visitors.py:25-129`` + ``JsonSummarizer``,
+    ``vectorisation.py:247-339``): display-field summary text, registration-id
+    and designation-year extraction, and alias keyword variants. The
+    synthesized org names carry no brackets or 'a.k.a.' markers, so the
+    keyword recursion takes its single-variant path and the oracle can replay
+    it with the same sort/filter/join pipeline as `sanction_features`'
+    person keywords (plus the org stopword/numeric token rule)."""
+    from entity_resolution_spark.operators.sanctions import org_sanction_features
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    aka = F.concat_ws(" ", "c_mktsegment", "c_name", F.lit("Ltd"))
+    names = F.array(
+        F.struct(F.col("c_name").alias("name"), F.lit("primary").alias("name_type")),
+        F.struct(aka.alias("name"), F.lit("aka").alias("name_type")),
+    )
+    regnum = F.concat(
+        F.lit("AB"), F.format_string("%05d", (k % 90000).cast("int")), F.lit(" XY1001")
+    )
+    desdate = F.concat((F.lit(1990) + k % 30).cast("string"), F.lit("-03-04"))
+    display_fields = F.array(
+        F.struct(F.lit("Program").alias("title"), F.col("c_mktsegment").alias("value")),
+        F.struct(F.lit("Not A Real Title").alias("title"), F.lit("dropme").alias("value")),
+        F.struct(F.lit("Registration Number").alias("title"), regnum.alias("value")),
+        F.struct(F.lit("Designation Date").alias("title"), desdate.alias("value")),
+    )
+    raw = c.select(
+        "c_custkey",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    names.alias("names"), display_fields.alias("display_fields")
+                ).alias("data")
+            )
+        ).alias("raw_entity"),
+    )
+    out = org_sanction_features(raw)
+    return out.select(
+        "c_custkey",
+        "full_text",
+        F.array_join("org_ids", "|").alias("org_ids_cat"),
+        F.array_join(F.transform("designation_year", lambda y: y.cast("string")), "|")
+        .alias("years_cat"),
+        F.array_join("org_alias_keyword", "|").alias("org_kw_cat"),
+    )
+
+
+SQL_ORG_SANCTION_FEATURES = r"""
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         c_mktsegment || ' ' || c_name || ' Ltd' AS aka,
+         'AB' || lpad(CAST(c_custkey % 90000 AS VARCHAR), 5, '0') AS regtok,
+         CAST(1990 + c_custkey % 30 AS VARCHAR) AS desyear
+  FROM customer
+), kw AS (
+  SELECT *,
+    lower(c_name) AS kw_primary,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_replace(lower(aka), '[,/\(\)\.\-;`'']', ' ', 'g'), ' '),
+      t -> t SIMILAR TO '[0-9]+'
+           OR (length(t) > 2 AND t NOT IN
+               ('ltd','llc','lcc','inc','corp','corporation','company')))), '+')
+      AS kw_aka
+  FROM base
+)
+SELECT c_custkey,
+  c_mktsegment || '.' || regtok || ' XY1001' || '.' || desyear || '-03-04'
+    AS full_text,
+  CASE WHEN regtok LIKE '%1001' THEN '' ELSE regtok END AS org_ids_cat,
+  desyear AS years_cat,
+  array_to_string(list_sort(list_distinct([kw_primary, kw_aka])), '|') AS org_kw_cat
+FROM kw
+"""
+
+
 def q_events_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup over the ``events`` stream table — the
     batch twin of the Structured Streaming windowed aggregation in
@@ -1304,6 +1381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
     "sanction_features": q_sanction_features,
     "sanction_resolve": q_sanction_resolve,
+    "org_sanction_features": q_org_sanction_features,
     "events_windowed_stats": q_events_windowed_stats,
     "events_sessionize": q_events_sessionize,
     "name_commonness_parts": q_name_commonness_parts,
@@ -1339,6 +1417,7 @@ ORACLES: dict[str, str] = {
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
     "sanction_features": SQL_SANCTION_FEATURES,
     "sanction_resolve": SQL_SANCTION_RESOLVE,
+    "org_sanction_features": SQL_ORG_SANCTION_FEATURES,
     "events_windowed_stats": SQL_EVENTS_WINDOWED_STATS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,
