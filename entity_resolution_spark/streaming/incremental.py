@@ -308,3 +308,55 @@ def stream_incremental_assign(
     return base.groupBy("_blk").applyInPandasWithState(
         assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_event_window_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``queries.q_events_windowed_stats`` — the SAME
+    tumbling-window aggregation expression over a ``readStream`` events
+    source (late rows beyond ``watermark`` dropped; state bounded by the
+    watermark). Output schema and values are identical to the batch query on
+    the same closed input — parity-tested in ``tests/test_streaming.py``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "sum_k",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """True streaming session windows (``F.session_window``): a user's session
+    stays open while events keep arriving within ``gap``; state for a session
+    is dropped once the watermark passes its close. The batch twin is
+    ``queries.q_events_sessionize`` (lag + running sum); this operator is
+    parity-tested against ``session_window`` evaluated in BATCH mode on the
+    same input — the streaming state machine and the batch sort-based
+    assignment must agree session-for-session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )

@@ -283,3 +283,66 @@ def test_stream_incremental_assign_multi_chunk_group_parity(spark, tmp_path):
         for r in spark.sql("select * from inc_chunks").collect()
     }
     assert got == want, (got, want)
+
+
+def _events_stream(spark):
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+
+
+def _complete_to_memory(df, name):
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_windowed_stats_matches_batch_query(spark):
+    """The streaming tumbling-window rollup must equal the batch (oracled)
+    query value-for-value on the same closed input."""
+    from entity_resolution_spark.queries import QUERIES
+    from entity_resolution_spark.streaming.incremental import stream_event_window_stats
+
+    _complete_to_memory(stream_event_window_stats(_events_stream(spark)), "ev_win_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ev_win_out").collect()}
+    want = {
+        tuple(r)
+        for r in QUERIES["events_windowed_stats"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_stream_sessionize_matches_batch_session_window(spark):
+    """The streaming session-window state machine must produce the same
+    sessions as F.session_window evaluated in batch mode on the same input
+    (same gap, same aggregates)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.streaming.incremental import stream_sessionize
+
+    _complete_to_memory(stream_sessionize(_events_stream(spark)), "ev_sess_out")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ev_sess_out").collect()}
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 100
