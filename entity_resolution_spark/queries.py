@@ -818,6 +818,10 @@ def q_sanction_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alias_keyword",
         "term_other_information",
     )
+    # consumed by the keyword explode AND the final label join: materialize the
+    # JSON parse + alias extraction once (eager localCheckpoint — blocks are
+    # ContextCleaner-reclaimed, unlike a bare persist)
+    base = base.localCheckpoint(eager=True)
     kw = base.select("c_custkey", F.explode("alias_keyword").alias("kw"))
     hubs = kw.groupBy("kw").agg(F.min("c_custkey").alias("hub"))
     edges = (
