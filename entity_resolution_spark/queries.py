@@ -760,10 +760,12 @@ def q_sanction_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation path is exercised).
 
     Raw entities are synthesized deterministically per customer: every
-    customer carries a ``Syndicate %03d`` alias (custkey % 40) and every third
-    customer additionally bridges through a ``Network %03d`` alias
-    (custkey % 37), so components merge transitively across the two alias
-    families — the oracle's recursive CTE must follow the same bridges.
+    customer carries a ``Syndicate %03d`` alias (custkey % 40), and every
+    third customer additionally bridges through a ``Network %03d`` alias of
+    its syndicate's FAMILY (``(custkey % 40) % 8``) — so the 40 syndicate
+    groups merge transitively into exactly 8 family components (verified:
+    8 components at sf0.01, not one degenerate blob), and the oracle's
+    recursive CTE must follow the same two-hop bridges.
 
     Scale shape: keyword-group edges are star-reduced (member -> min custkey
     of the group) instead of the quadratic all-pairs expansion — O(group)
@@ -778,7 +780,7 @@ def q_sanction_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     syn = F.format_string("Syndicate %03d", (k % 40).cast("int"))
-    net = F.format_string("Network %03d", (k % 37).cast("int"))
+    net = F.format_string("Network %03d", ((k % 40) % 8).cast("int"))
     names = F.filter(
         F.array(
             F.struct(F.col("c_name").alias("name"), F.lit("primary").alias("name_type")),
@@ -846,7 +848,7 @@ WITH RECURSIVE base AS (
   SELECT CAST(c_custkey AS BIGINT) AS id,
          substr(c_mktsegment || ' ' || c_name, 1, 12) AS term,
          c_custkey % 40 AS syn,
-         c_custkey % 37 AS net,
+         (c_custkey % 40) % 8 AS net,
          (c_custkey % 3 = 0) AS bridged
   FROM customer
 ), kw AS (
