@@ -279,3 +279,53 @@ def test_sanction_term_visitor_reference_golden(spark):
     assert r0["term_function"] == ["treasurer"]
     assert r1["term_other_information"] == [] and r1["term_function"] == []
     assert r2["term_other_information"] is None and r2["term_function"] is None
+
+
+def test_sanction_job_build_clusters_person_and_org(spark):
+    """The spark-submit sanction job's core (`jobs/sanction_job.py`): visitor
+    chain -> feature-intersection adjacency (th) -> CC, min-id labels — the
+    reference's `inter-domain.py` composition. Person entities cluster on
+    shared alias keywords; orgs on shared registration ids OR alias keywords."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    from sanction_job import build_clusters
+
+    people = [
+        ("p1", {"data": {"names": [{"name": "Omar Hassan", "name_type": "primary"}]}}),
+        ("p2", {"data": {"names": [{"name": "Hassan Omar", "name_type": "primary"}]}}),  # same sorted keyword
+        ("p3", {"data": {"names": [{"name": "Someone Else", "name_type": "primary"}]}}),
+        ("p4", {"data": {"names": None}}),  # absent names -> singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in people], "sanction_id string, raw_entity string"
+    )
+    got = {
+        r["sanction_id"]: (r["entity_id"], r["n_members"])
+        for r in build_clusters(df, "person", ["alias_keyword"], 1).collect()
+    }
+    assert got["p1"] == ("p1", 2) and got["p2"] == ("p1", 2)
+    assert got["p3"] == ("p3", 1) and got["p4"] == ("p4", 1)
+
+    orgs = [
+        ("o1", {"data": {
+            "names": [{"name": "Acme Trading", "name_type": "primary"}],
+            "display_fields": [{"title": "Registration Number", "value": "AB99887"}],
+        }}),
+        ("o2", {"data": {
+            "names": [{"name": "Totally Different", "name_type": "primary"}],
+            "display_fields": [{"title": "Registration Number", "value": "AB99887"}],
+        }}),  # same registration id -> same entity
+        ("o3", {"data": {
+            "names": [{"name": "Trading Acme Ltd", "name_type": "primary"}],
+        }}),  # same sorted org keyword as o1 (Ltd dropped)
+    ]
+    dfo = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in orgs], "sanction_id string, raw_entity string"
+    )
+    goto = {
+        r["sanction_id"]: (r["entity_id"], r["n_members"])
+        for r in build_clusters(dfo, "organisation", ["org_alias_keyword", "org_ids"], 1).collect()
+    }
+    assert goto["o1"] == ("o1", 3) and goto["o2"] == ("o1", 3) and goto["o3"] == ("o1", 3)
