@@ -81,6 +81,15 @@ def get_spark(
         # partition per ~2-3s of feature compute.
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # zstd shuffle/broadcast compression instead of lz4: the job is
+        # memory-bandwidth-bound at high core counts (membw_probe, PLANS.md),
+        # so halving shuffle bytes through /dev/shm buys more than the extra
+        # compression CPU costs. A/B on the 703k-file corpus (alternating
+        # min-wall): local[16] 103.2s -> 88.9s (-14%, clusters stage 53.3 ->
+        # 44.0s), local[4] 193.3 vs 194.2s (a wash — CPU-bound there, as
+        # expected). Identical clusters. On a real cluster this also shrinks
+        # network shuffle, the same trade in the same direction.
+        .config("spark.io.compression.codec", "zstd")
     )
     # local-mode shuffle goes through spark.local.dir; the sandbox disk writes at
     # ~260 MB/s while /dev/shm does ~1.8 GB/s — a wide-row shuffle (pair-feature
