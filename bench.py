@@ -47,6 +47,7 @@ HEADLINE = [
     "sanction_features",
     "sanction_resolve",
     "org_sanction_features",
+    "repetition_stats_docs",
     "events_windowed_stats",
     "events_sessionize",
     "name_commonness_parts",

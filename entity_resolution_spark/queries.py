@@ -953,6 +953,65 @@ FROM kw
 """
 
 
+def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition quality stats over the documents table
+    (``operators/repetition.py``): duplicate-line counts/chars and best
+    bigram char coverage, all integer parts — the training-data filter
+    signals computed relationally (explode → groupBy, no per-row quadratic
+    scans)."""
+    from entity_resolution_spark.operators.repetition import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, text_col="text", id_col="doc_id")
+
+
+SQL_REPETITION_STATS_DOCS = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+), lines AS (
+  SELECT d.doc_id, trim(u.l) AS line
+  FROM d, UNNEST(string_split(d.text, chr(10))) AS u(l)
+  WHERE length(trim(u.l)) > 0
+), lc AS (
+  SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2
+), ls AS (
+  SELECT doc_id,
+         SUM(c)                                            AS n_lines,
+         SUM(c) - COUNT(*)                                 AS dup_lines,
+         SUM(CASE WHEN c > 1 THEN c * length(line) END)    AS dup_chars,
+         SUM(c * length(line))                             AS line_chars
+  FROM lc GROUP BY 1
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM d
+), tc AS (
+  SELECT doc_id,
+         list_sum(list_transform(toks, t -> length(t))) AS tok_chars,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM tk
+), bc AS (
+  SELECT doc_id, u.bg, COUNT(*) AS c
+  FROM tc, UNNEST(tc.bgs) AS u(bg) GROUP BY 1, 2
+), tb AS (
+  SELECT doc_id, MAX(c * (length(bg) - 1)) AS top_bigram_chars FROM bc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(ls.n_lines, 0) AS BIGINT)           AS n_lines,
+       CAST(coalesce(ls.dup_lines, 0) AS BIGINT)         AS dup_lines,
+       CAST(coalesce(ls.dup_chars, 0) AS BIGINT)         AS dup_chars,
+       CAST(coalesce(ls.line_chars, 0) AS BIGINT)        AS line_chars,
+       CAST(coalesce(tb.top_bigram_chars, 0) AS BIGINT)  AS top_bigram_chars,
+       CAST(coalesce(tc.tok_chars, 0) AS BIGINT)         AS tok_chars
+FROM d
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN tc USING (doc_id)
+LEFT JOIN tb USING (doc_id)
+"""
+
+
 def q_events_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup over the ``events`` stream table — the
     batch twin of the Structured Streaming windowed aggregation in
@@ -1388,6 +1447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sanction_features": q_sanction_features,
     "sanction_resolve": q_sanction_resolve,
     "org_sanction_features": q_org_sanction_features,
+    "repetition_stats_docs": q_repetition_stats_docs,
     "events_windowed_stats": q_events_windowed_stats,
     "events_sessionize": q_events_sessionize,
     "name_commonness_parts": q_name_commonness_parts,
@@ -1424,6 +1484,7 @@ ORACLES: dict[str, str] = {
     "sanction_features": SQL_SANCTION_FEATURES,
     "sanction_resolve": SQL_SANCTION_RESOLVE,
     "org_sanction_features": SQL_ORG_SANCTION_FEATURES,
+    "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
     "events_windowed_stats": SQL_EVENTS_WINDOWED_STATS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,

@@ -96,3 +96,30 @@ def test_replace_entity_name_reference_goldens(spark):
     ).orderBy("id").collect()
     for row, (_, _, want) in zip(out, cases):
         assert row["masked"] == want
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher/C4 repetition stats on a hand-traced doc: 'aa\naa\nbb' has 3
+    lines, 1 duplicate occurrence, 4 duplicated chars of 6 line chars; tokens
+    'x y x y z' give best bigram 'x y' covering 2*(3-1)=4 of 5 token chars."""
+    from entity_resolution_spark.operators.repetition import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa\naa\nbb"),
+            (2, "x y x y z"),
+            (3, "   \n\n"),          # whitespace only -> all zeros
+            (4, "single"),           # one token -> no bigram
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs, text_col="text", id_col="doc_id").collect()
+    }
+    assert got[1]["n_lines"] == 3 and got[1]["dup_lines"] == 1
+    assert got[1]["dup_chars"] == 4 and got[1]["line_chars"] == 6
+    assert got[2]["top_bigram_chars"] == 4 and got[2]["tok_chars"] == 5
+    assert got[3] == {"doc_id": 3, "n_lines": 0, "dup_lines": 0, "dup_chars": 0,
+                      "line_chars": 0, "top_bigram_chars": 0, "tok_chars": 0}
+    assert got[4]["top_bigram_chars"] == 0 and got[4]["tok_chars"] == 6
