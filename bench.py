@@ -60,6 +60,7 @@ HEADLINE = [
     "top_terms_docs",
     "gcn_resolve_docs",
     "acceptance_distribution_docs",
+    "decontaminate_docs",
 ]
 
 

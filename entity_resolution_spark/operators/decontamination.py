@@ -1,0 +1,105 @@
+"""Benchmark decontamination — flag training documents that share verbatim
+token n-grams with an evaluation/benchmark set (the standard contamination
+check from GPT-3 appx. C / PaLM §8 / Llama-2 §A.6: a doc is contaminated when
+any length-``n`` token window also occurs in an eval document).
+
+Scale shape (the 100 TB argument): the eval side is SMALL (benchmarks are
+thousands of documents; their distinct n-gram set is a few million strings),
+so it is built once and BROADCAST. The corpus side is one narrow projection
+(id + row-local n-gram array), one explode, one broadcast hash join, and one
+map-side-combining groupBy on doc id — the document text itself is never
+shuffled, and no corpus-vs-corpus join exists anywhere. At 1000 executors
+each task streams its parquet split against the shared eval hash set.
+
+Everything row-local is computed with codegen'd array expressions (split /
+slice / transform), not Python. All outputs are integers/booleans so the
+driver oracle hashes exactly (the `quality_stats_lang` lesson).
+
+Definitions (identical on both engines, documented for the oracle):
+- tokens: split(lower(text), /\\s+/), empties dropped;
+- n-grams: every window of ``n`` consecutive tokens, joined by single spaces;
+  a doc with fewer than ``n`` tokens has none;
+- per doc: total_ngrams = #distinct n-grams, contaminated_ngrams = #distinct
+  n-grams that occur in ANY eval doc, is_contaminated = contaminated > 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_array(text: Column, n: int) -> Column:
+    """Row-local distinct token n-grams of ``text`` (codegen'd, no UDF)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    size = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING range — guard short docs
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def eval_ngram_set(
+    eval_docs: DataFrame, text_col: str = "content", n: int = 13
+) -> DataFrame:
+    """Distinct n-gram set of the eval/benchmark corpus → (ngram).
+
+    Small by construction (eval sets are not web-scale); the caller
+    broadcasts it. Materialize once and reuse across corpus shards.
+    """
+    return (
+        eval_docs.select(F.explode(_ngram_array(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "unique_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination stats vs an eval set.
+
+    Output: (id, total_ngrams bigint, contaminated_ngrams bigint,
+    is_contaminated boolean). Docs shorter than ``n`` tokens have 0/0/false.
+
+    Join strategy: eval n-grams broadcast; corpus n-grams exploded and
+    left-joined against them with a hit marker, then ONE hash aggregation on
+    doc id (partial map-side combine) recovers both counters — the corpus
+    side is scanned once and its text column is pruned immediately after the
+    n-gram projection.
+    """
+    ev = F.broadcast(
+        eval_ngram_set(eval_docs, text_col=text_col, n=n)
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(_ngram_array(F.col(text_col), n)).alias("ngram"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        exploded.join(ev, "ngram", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("ngram").alias("total_ngrams"),
+            F.count("_hit").alias("contaminated_ngrams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("total_ngrams").cast("bigint"), zero).alias(
+                "total_ngrams"
+            ),
+            F.coalesce(F.col("contaminated_ngrams").cast("bigint"), zero).alias(
+                "contaminated_ngrams"
+            ),
+            (F.col("contaminated_ngrams") > 0).alias("is_contaminated"),
+        )
+    )

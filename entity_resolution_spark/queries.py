@@ -1420,6 +1420,56 @@ def q_acceptance_distribution_docs(spark: SparkSession, sf_dir: str) -> DataFram
     return check_acceptance_distribution(clusters, 0.3, 5).orderBy("run")
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx. C / Llama-2 §A.6 13-gram rule):
+    flag corpus documents sharing any verbatim 13-token window with the eval
+    set (deterministically, docs with doc_id % 10 = 0 — a 10% held-out
+    benchmark slice, which at sf0.01 contaminates 6 non-eval clone-family
+    docs beyond the 50 eval members themselves). Eval n-gram set is
+    broadcast; corpus text is scanned once and never shuffled. Integer/boolean
+    outputs only."""
+    from entity_resolution_spark.operators.decontamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(
+        d, ev, text_col="text", id_col="doc_id", n=13
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id, ngram
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 13 THEN
+                    list_transform(range(1, len(tk) - 11),
+                                   i -> array_to_string(tk[i:i+12], ' '))
+                  ELSE []::VARCHAR[] END) AS ngram
+    FROM toks
+  )
+), ev AS (
+  SELECT DISTINCT ngram FROM ng WHERE doc_id % 10 = 0
+), hits AS (
+  SELECT ng.doc_id,
+         count(*)        AS total_ngrams,
+         count(ev.ngram) AS contaminated_ngrams
+  FROM ng LEFT JOIN ev USING (ngram)
+  GROUP BY ng.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.total_ngrams, 0) AS BIGINT)        AS total_ngrams,
+       CAST(COALESCE(h.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+       COALESCE(h.contaminated_ngrams, 0) > 0             AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1460,6 +1510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_docs": q_top_terms_docs,
     "gcn_resolve_docs": q_gcn_resolve_docs,
     "acceptance_distribution_docs": q_acceptance_distribution_docs,
+    "decontaminate_docs": q_decontaminate_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1490,6 +1541,7 @@ ORACLES: dict[str, str] = {
     "name_commonness_parts": SQL_NAME_COMMONNESS_PARTS,
     "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
     "selected_text_docs": SQL_SELECTED_TEXT_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
