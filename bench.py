@@ -61,6 +61,8 @@ HEADLINE = [
     "gcn_resolve_docs",
     "acceptance_distribution_docs",
     "decontaminate_docs",
+    "chunk_docs",
+    "token_budget_sample",
 ]
 
 

@@ -1,0 +1,62 @@
+"""Deterministic token-budget sampling — allocate a per-bucket token budget
+(the data-mixing step of a pretraining pipeline: "take B tokens from each
+source/domain") with a seeded, engine-independent shuffle order.
+
+Instead of an RNG (non-reproducible across engines/partitionings), each doc
+gets a Knuth multiplicative-hash rank ``(id · 2654435761) mod 2^32`` — a
+fixed bijection on 32-bit ids, so the "random" order is deterministic,
+uniform-ish, and expressible in ANSI SQL (the DuckDB oracle replays it
+bit-for-bit). A doc is kept while the running token total of its bucket,
+taken in rank order, has not yet reached the budget — the first doc that
+crosses the budget is still kept (budgets are lower bounds in mixing
+recipes: you stop AFTER covering B tokens).
+
+Scale shape: one hash shuffle on the bucket column for the running-sum
+window; the window is a single pass (no self-join), and the text column is
+never shuffled — only (id, bucket, n_tokens). Skewed buckets are bounded by
+the window's in-partition sort, which spills; for a pathological single
+bucket at 100 TB, pre-aggregate to (bucket, rank-range) quantiles first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
+_MOD = 1 << 32
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    bucket_col: str = "source",
+    id_col: str = "unique_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, bucket, n_tokens) → sampling decision per doc.
+
+    Output: (id, bucket, n_tokens, sample_rank, cum_tokens, kept) — all
+    integer/boolean. ``cum_tokens`` is the bucket's running total INCLUDING
+    this doc, in ``sample_rank`` order; ``kept`` is true while the total
+    before this doc is under the budget.
+    """
+    rank = (F.col(id_col).cast("bigint") * _KNUTH) % F.lit(_MOD)
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy("sample_rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(bucket_col),
+            F.col(n_tokens_col).cast("bigint").alias(n_tokens_col),
+            rank.alias("sample_rank"),
+        )
+        .withColumn("cum_tokens", F.sum(n_tokens_col).over(w).cast("bigint"))
+        .withColumn(
+            "kept",
+            (F.col("cum_tokens") - F.col(n_tokens_col)) < budget_tokens,
+        )
+    )

@@ -1470,6 +1470,82 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking (context-window packing prep): 32-token chunks with
+    8-token overlap. Map-only — zero shuffles; the orderBy here is only the
+    driver-hash canonical order."""
+    from entity_resolution_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, text_col="text", id_col="doc_id", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_CHUNK_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), meta AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= 0 THEN 0
+              WHEN len(tk) <= 32 THEN 1
+              ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nc
+  FROM toks
+), ch AS (
+  SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM meta
+)
+SELECT doc_id,
+       CAST(i AS BIGINT)            AS chunk_idx,
+       CAST(i * 24 + 1 AS BIGINT)   AS token_start,
+       CAST(least(32, n - (i * 24 + 1) + 1) AS BIGINT) AS n_tokens,
+       array_to_string(
+         tk[(i * 24 + 1):(i * 24 + least(32, n - (i * 24 + 1) + 1))], ' '
+       ) AS chunk_text
+FROM ch
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget sampling (pretraining data
+    mixing): Knuth multiplicative-hash rank order, keep while the source's
+    running token total is under 700. Integer/boolean outputs only."""
+    from entity_resolution_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tokens"),
+    )
+    return token_budget_sample(
+        d, budget_tokens=700, bucket_col="source", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_BUDGET_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, sample_rank,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY sample_rank, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       (sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY sample_rank, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - n_tokens) < 700 AS kept
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1511,6 +1587,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gcn_resolve_docs": q_gcn_resolve_docs,
     "acceptance_distribution_docs": q_acceptance_distribution_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "chunk_docs": q_chunk_docs,
+    "token_budget_sample": q_token_budget_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1542,6 +1620,8 @@ ORACLES: dict[str, str] = {
     "fastrp_cosine_docs": SQL_FASTRP_COSINE_DOCS,
     "selected_text_docs": SQL_SELECTED_TEXT_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).

@@ -1,0 +1,97 @@
+"""Sequence chunking + token-budget sampling: hand-traced goldens and
+scale-shape assertions."""
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.chunking import chunk_documents
+from entity_resolution_spark.operators.sampling import token_budget_sample
+
+
+def test_chunk_documents_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7"),  # n=7, chunk=4, overlap=1, stride=3
+            (2, "a b"),                    # n=2 <= 4: one chunk
+            (3, ""),                       # empty: no chunks
+        ],
+        "unique_id long, content string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = {
+        (r["unique_id"], r["chunk_idx"]): r
+        for r in out.collect()
+    }
+    # doc 1: nc = ceil((7-4)/3)+1 = 2; starts 1, 4
+    assert (rows[(1, 0)]["token_start"], rows[(1, 0)]["n_tokens"]) == (1, 4)
+    assert rows[(1, 0)]["chunk_text"] == "t1 t2 t3 t4"
+    assert (rows[(1, 1)]["token_start"], rows[(1, 1)]["n_tokens"]) == (4, 4)
+    assert rows[(1, 1)]["chunk_text"] == "t4 t5 t6 t7"
+    assert (rows[(2, 0)]["n_tokens"], rows[(2, 0)]["chunk_text"]) == (2, "a b")
+    assert not any(k[0] == 3 for k in rows)
+    assert len(rows) == 3
+
+
+def test_chunk_last_token_always_covered(spark):
+    # sweep lengths: the final chunk must reach token n, chunks overlap by
+    # exactly `overlap`, and every chunk past the first adds new tokens
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(1, n + 1))) for n in range(1, 40)],
+        "unique_id long, content string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["unique_id"], []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[-1]["token_start"] + chunks[-1]["n_tokens"] - 1 == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["token_start"] == a["token_start"] + 5  # stride
+            assert b["token_start"] <= a["token_start"] + a["n_tokens"]
+
+
+def test_chunk_plan_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "unique_id long, content string"
+    )
+    plan = (
+        chunk_documents(docs, chunk_tokens=4, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles: pure map-side fan-out
+
+
+def test_token_budget_sample_hand_computed(spark):
+    # ranks: (id*2654435761) % 2^32 → order within bucket
+    docs = spark.createDataFrame(
+        [(i, "s", 10) for i in range(1, 6)],
+        "unique_id long, source string, n_tokens long",
+    )
+    out = token_budget_sample(
+        docs, budget_tokens=25, bucket_col="source"
+    ).collect()
+    ranked = sorted(out, key=lambda r: (r["sample_rank"], r["unique_id"]))
+    # cumulative 10,20,30,40,50 — kept while cum-before < 25: first three
+    assert [r["cum_tokens"] for r in ranked] == [10, 20, 30, 40, 50]
+    assert [r["kept"] for r in ranked] == [True, True, True, False, False]
+
+
+def test_token_budget_sample_per_bucket_independent(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 5)],
+        "unique_id long, source string, n_tokens long",
+    )
+    out = {r["unique_id"]: r for r in
+           token_budget_sample(docs, budget_tokens=50).collect()}
+    assert out[3]["kept"]  # bucket b under budget regardless of bucket a
+    assert sum(bool(out[i]["kept"]) for i in (1, 2)) == 1  # first rank only
+
+
+def test_token_budget_sample_deterministic_across_partitionings(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", (i * 7) % 40 + 1) for i in range(1, 200)],
+        "unique_id long, source string, n_tokens long",
+    )
+    a = token_budget_sample(docs.repartition(1), 300).orderBy("unique_id")
+    b = token_budget_sample(docs.repartition(13), 300).orderBy("unique_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
