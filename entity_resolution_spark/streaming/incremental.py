@@ -360,3 +360,55 @@ def stream_sessionize(
             "sum_value_cents",
         )
     )
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame,
+    eval_ngrams: DataFrame,
+    text_col: str = "content",
+    id_col: str = "unique_id",
+    n: int = 13,
+    watermark: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of ``operators.decontamination.decontaminate`` — flag
+    incoming documents contaminated against a STATIC eval n-gram set as they
+    arrive (the ingest-time contamination gate of a streaming data pipeline).
+
+    Shape: row-local n-gram arrays (codegen'd, stateless) → explode →
+    stream-static LEFT join against the broadcast eval set (stateless) → the
+    per-doc counts as a watermark-bounded aggregation keyed by
+    (event-time window, doc id) — a doc's n-gram rows all carry its single
+    event time, so each key closes when the watermark passes and state stays
+    bounded. Output values are identical to the batch operator on the same
+    closed input (parity-tested); the window column is kept so late-data
+    semantics are explicit.
+    """
+    from entity_resolution_spark.operators.decontamination import _ngram_array
+
+    ev = F.broadcast(eval_ngrams.withColumn("_hit", F.lit(1)))
+    exploded = docs_stream.withWatermark("event_time", watermark).select(
+        F.col(id_col).alias("_id"),
+        "event_time",
+        F.explode_outer(_ngram_array(F.col(text_col), n)).alias("ngram"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        exploded.join(ev, "ngram", "left")
+        .groupBy(F.window("event_time", window).alias("w"), "_id")
+        .agg(
+            F.count("ngram").alias("total_ngrams"),
+            F.count("_hit").alias("contaminated_ngrams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("total_ngrams").cast("bigint"), zero).alias(
+                "total_ngrams"
+            ),
+            F.coalesce(F.col("contaminated_ngrams").cast("bigint"), zero).alias(
+                "contaminated_ngrams"
+            ),
+            (F.col("contaminated_ngrams") > 0).alias("is_contaminated"),
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+        )
+    )

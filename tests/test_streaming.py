@@ -346,3 +346,61 @@ def test_stream_sessionize_matches_batch_session_window(spark):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 100
+
+
+def test_stream_decontaminate_matches_batch_operator(spark, tmp_path):
+    """Streaming contamination stats must equal the batch operator
+    value-for-value on the same closed input."""
+    import datetime
+
+    from entity_resolution_spark.operators.decontamination import (
+        decontaminate,
+        eval_ngram_set,
+    )
+    from entity_resolution_spark.streaming.incremental import stream_decontaminate
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "a b c d e", t0),
+        (2, "x a b c y", t0),
+        (3, "e d c b a", t0),
+        (4, "a b", t0),
+    ]
+    schema = "unique_id long, content string, event_time timestamp"
+    batch = spark.createDataFrame(rows, schema)
+    ev = eval_ngram_set(
+        spark.createDataFrame([(100, "a b c d e")], "unique_id long, content string"),
+        n=3,
+    )
+
+    src = str(tmp_path / "docs_landing")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_decontaminate(stream, ev, n=3)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("decon_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["unique_id"], r["total_ngrams"], r["contaminated_ngrams"],
+         r["is_contaminated"])
+        for r in spark.sql("SELECT * FROM decon_out").collect()
+    }
+    # the batch twin takes eval DOCS; rebuild from the same eval doc
+    want = {
+        (r["unique_id"], r["total_ngrams"], r["contaminated_ngrams"],
+         r["is_contaminated"])
+        for r in decontaminate(
+            batch.drop("event_time"),
+            spark.createDataFrame(
+                [(100, "a b c d e")], "unique_id long, content string"
+            ),
+            n=3,
+        ).collect()
+    }
+    assert got == want and len(got) == 4
