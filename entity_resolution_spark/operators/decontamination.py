@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _ngram_array(text: Column, n: int) -> Column:
+def ngram_array(text: Column, n: int) -> Column:
     """Row-local distinct token n-grams of ``text`` (codegen'd, no UDF)."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
     size = F.size(toks)
@@ -53,8 +53,27 @@ def eval_ngram_set(
     broadcasts it. Materialize once and reuse across corpus shards.
     """
     return (
-        eval_docs.select(F.explode(_ngram_array(F.col(text_col), n)).alias("ngram"))
+        eval_docs.select(F.explode(ngram_array(F.col(text_col), n)).alias("ngram"))
         .distinct()
+    )
+
+
+def contamination_counts(exploded: DataFrame, ev: DataFrame, group_cols) -> DataFrame:
+    """(group cols, ngram) ⋈ broadcast eval-with-_hit → per-group counts.
+
+    The single definition of the counting rule, shared by the batch operator
+    and the streaming twin. ``count()`` over a groupBy never returns NULL,
+    and callers build ``exploded`` with ``explode_outer`` so even an empty
+    doc contributes a NULL-ngram row and forms a group — no fill-up join.
+    """
+    return (
+        exploded.join(ev, "ngram", "left")
+        .groupBy(*group_cols)
+        .agg(
+            F.count("ngram").cast("bigint").alias("total_ngrams"),
+            F.count("_hit").cast("bigint").alias("contaminated_ngrams"),
+        )
+        .withColumn("is_contaminated", F.col("contaminated_ngrams") > 0)
     )
 
 
@@ -82,24 +101,11 @@ def decontaminate(
     )
     exploded = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(_ngram_array(F.col(text_col), n)).alias("ngram"),
+        F.explode_outer(ngram_array(F.col(text_col), n)).alias("ngram"),
     )
-    zero = F.lit(0).cast("bigint")
-    return (
-        exploded.join(ev, "ngram", "left")
-        .groupBy("_id")
-        .agg(
-            F.count("ngram").alias("total_ngrams"),
-            F.count("_hit").alias("contaminated_ngrams"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("total_ngrams").cast("bigint"), zero).alias(
-                "total_ngrams"
-            ),
-            F.coalesce(F.col("contaminated_ngrams").cast("bigint"), zero).alias(
-                "contaminated_ngrams"
-            ),
-            (F.col("contaminated_ngrams") > 0).alias("is_contaminated"),
-        )
+    return contamination_counts(exploded, ev, ["_id"]).select(
+        F.col("_id").alias(id_col),
+        "total_ngrams",
+        "contaminated_ngrams",
+        "is_contaminated",
     )

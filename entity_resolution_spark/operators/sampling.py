@@ -41,7 +41,15 @@ def token_budget_sample(
     this doc, in ``sample_rank`` order; ``kept`` is true while the total
     before this doc is under the budget.
     """
-    rank = (F.col(id_col).cast("bigint") * _KNUTH) % F.lit(_MOD)
+    # (id·K) mod 2^32 via 16-bit limbs — the naive bigint multiply overflows
+    # int64 (a job-killing ANSI SparkArithmeticException) for ids ≥ ~3.46e9,
+    # i.e. inside the documented 32-bit id domain. Only the low 32 bits of id
+    # matter mod 2^32: lo·K < 2^48 and ((hi16·K) mod 2^16)·2^16 < 2^32, so
+    # every intermediate fits comfortably in int64 for ANY bigint id.
+    _id = F.col(id_col).cast("bigint")
+    lo = _id.bitwiseAND(F.lit(0xFFFF))
+    hi16 = F.shiftright(_id, 16).bitwiseAND(F.lit(0xFFFF))
+    rank = (lo * _KNUTH + ((hi16 * _KNUTH) % F.lit(1 << 16)) * F.lit(1 << 16)) % F.lit(_MOD)
     w = (
         Window.partitionBy(bucket_col)
         .orderBy("sample_rank", id_col)

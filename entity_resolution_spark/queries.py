@@ -1530,7 +1530,9 @@ WITH d AS (
   SELECT doc_id, source,
          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                               t -> t <> '')) AS BIGINT) AS n_tokens,
-         (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 AS sample_rank
+         ((CAST(doc_id AS BIGINT) & 65535) * 2654435761
+          + (((CAST(doc_id AS BIGINT) >> 16) & 65535) * 2654435761 % 65536)
+            * 65536) % 4294967296 AS sample_rank
   FROM documents
 )
 SELECT doc_id, source, n_tokens, sample_rank,

@@ -384,31 +384,23 @@ def stream_decontaminate(
     closed input (parity-tested); the window column is kept so late-data
     semantics are explicit.
     """
-    from entity_resolution_spark.operators.decontamination import _ngram_array
+    from entity_resolution_spark.operators.decontamination import (
+        contamination_counts,
+        ngram_array,
+    )
 
     ev = F.broadcast(eval_ngrams.withColumn("_hit", F.lit(1)))
     exploded = docs_stream.withWatermark("event_time", watermark).select(
         F.col(id_col).alias("_id"),
         "event_time",
-        F.explode_outer(_ngram_array(F.col(text_col), n)).alias("ngram"),
+        F.explode_outer(ngram_array(F.col(text_col), n)).alias("ngram"),
     )
-    zero = F.lit(0).cast("bigint")
-    return (
-        exploded.join(ev, "ngram", "left")
-        .groupBy(F.window("event_time", window).alias("w"), "_id")
-        .agg(
-            F.count("ngram").alias("total_ngrams"),
-            F.count("_hit").alias("contaminated_ngrams"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("total_ngrams").cast("bigint"), zero).alias(
-                "total_ngrams"
-            ),
-            F.coalesce(F.col("contaminated_ngrams").cast("bigint"), zero).alias(
-                "contaminated_ngrams"
-            ),
-            (F.col("contaminated_ngrams") > 0).alias("is_contaminated"),
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
-        )
+    return contamination_counts(
+        exploded, ev, [F.window("event_time", window).alias("w"), F.col("_id")]
+    ).select(
+        F.col("_id").alias(id_col),
+        "total_ngrams",
+        "contaminated_ngrams",
+        "is_contaminated",
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
     )

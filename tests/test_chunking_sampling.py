@@ -95,3 +95,18 @@ def test_token_budget_sample_deterministic_across_partitionings(spark):
     a = token_budget_sample(docs.repartition(1), 300).orderBy("unique_id")
     b = token_budget_sample(docs.repartition(13), 300).orderBy("unique_id")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_token_budget_sample_large_ids_no_overflow(spark):
+    """Ids near and above 2^32 must hash without ANSI int64 overflow, and the
+    limb-decomposed rank must equal the mathematical (id·K) mod 2^32."""
+    ids = [3_460_000_000, 4_294_967_295, 2**40 + 123, 7]
+    docs = spark.createDataFrame(
+        [(i, "s", 10) for i in ids], "unique_id long, source string, n_tokens long"
+    )
+    got = {
+        r["unique_id"]: r["sample_rank"]
+        for r in token_budget_sample(docs, budget_tokens=100).collect()
+    }
+    for i in ids:
+        assert got[i] == (i * 2654435761) % (1 << 32)

@@ -404,3 +404,50 @@ def test_stream_decontaminate_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_stream_decontaminate_append_mode_emits_after_watermark(spark, tmp_path):
+    """The documented production shape is APPEND mode: a doc's counts are
+    emitted once its event-time window falls behind the watermark, and never
+    before — this exercises the watermark-bounded state the docstring claims
+    (complete mode, used by the parity test, ignores the watermark)."""
+    import datetime
+
+    from entity_resolution_spark.operators.decontamination import eval_ngram_set
+    from entity_resolution_spark.streaming.incremental import stream_decontaminate
+
+    schema = "unique_id long, content string, event_time timestamp"
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    late = t0 + datetime.timedelta(hours=2)
+    ev = eval_ngram_set(
+        spark.createDataFrame([(100, "a b c d e")], "unique_id long, content string"),
+        n=3,
+    )
+    src = str(tmp_path / "docs_landing")
+    spark.createDataFrame([(1, "x a b c y", t0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_decontaminate(stream, ev, n=3, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon_append_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark has not passed t0's window yet: nothing emitted
+    assert spark.sql("SELECT * FROM decon_append_out").count() == 0
+    # a later batch advances the watermark past the first doc's window
+    spark.createDataFrame([(2, "e d c b a", late)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["unique_id"]: r for r in
+            spark.sql("SELECT * FROM decon_append_out").collect()}
+    assert set(rows) == {1}  # doc 2's window is still open
+    assert (rows[1]["total_ngrams"], rows[1]["contaminated_ngrams"],
+            rows[1]["is_contaminated"]) == (3, 1, True)
