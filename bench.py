@@ -63,6 +63,7 @@ HEADLINE = [
     "decontaminate_docs",
     "chunk_docs",
     "token_budget_sample",
+    "unigram_rarity_docs",
 ]
 
 

@@ -1548,6 +1548,49 @@ FROM d
 """
 
 
+def q_unigram_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality filter (CCNet/KenLM idea with integer-exact
+    arithmetic): per-doc unigram self-information in whole bits,
+    rarity(t) = floor(log2(n_docs/df)) = length(bin(n_docs DIV df)) − 1."""
+    from entity_resolution_spark.operators.rarity import unigram_rarity_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_rarity_stats(d, text_col="text", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+SQL_UNIGRAM_RARITY_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks
+), census AS (
+  SELECT tok,
+         CAST(length(format('{:b}',
+           (SELECT count(*) FROM documents) // count(*))) - 1 AS BIGINT)
+           AS rarity
+  FROM ex GROUP BY tok
+), agg AS (
+  SELECT e.doc_id,
+         count(*)      AS distinct_tokens,
+         sum(c.rarity) AS sum_rarity,
+         max(c.rarity) AS max_rarity
+  FROM ex e JOIN census c USING (tok)
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT)                    AS n_tokens,
+       CAST(COALESCE(a.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+       CAST(COALESCE(a.sum_rarity, 0) AS BIGINT)      AS sum_rarity,
+       CAST(COALESCE(a.max_rarity, 0) AS BIGINT)      AS max_rarity
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1591,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "chunk_docs": q_chunk_docs,
     "token_budget_sample": q_token_budget_sample,
+    "unigram_rarity_docs": q_unigram_rarity_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1624,6 +1668,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "unigram_rarity_docs": SQL_UNIGRAM_RARITY_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
