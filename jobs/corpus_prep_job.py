@@ -1,0 +1,125 @@
+"""spark-submit entry point for the training-data corpus-preparation pipeline:
+quality gates → exact + near dedup → benchmark decontamination → sequence
+chunking → per-source token-budget sampling, composed from the engine's
+operators into the standard pretraining prep flow.
+
+    python tools/package.py                       # builds dist/entity_resolution_spark.zip
+    spark-submit --py-files dist/entity_resolution_spark.zip \
+        jobs/corpus_prep_job.py \
+        --input  <documents parquet: (doc_id, text, lang, source, ...)> \
+        --eval   <benchmark/eval documents parquet (same schema)> \
+        --output <prepared chunks path> \
+        [--chunk-tokens 512] [--overlap 64] [--budget-tokens 1000000] \
+        [--min-tokens 5] [--max-dup-line-pct 30] [--jaccard-threshold 0.8]
+
+Stage order is the cheap-filter-first rule: row-local quality gates prune
+before anything shuffles; dedup (one census shuffle + banded candidate join)
+runs on the survivors; decontamination is a broadcast lookup; chunking is
+map-only; budget sampling shuffles only (id, source, n_tokens). Every stage
+prints its row count so a run documents its own funnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--eval", required=True, dest="eval_path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--overlap", type=int, default=64)
+    ap.add_argument("--budget-tokens", type=int, default=1_000_000)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-dup-line-pct", type=int, default=30)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from entity_resolution_spark.operators.chunking import chunk_documents
+    from entity_resolution_spark.operators.decontamination import decontaminate
+    from entity_resolution_spark.operators.dedup import (
+        exact_dup_groups,
+        jaccard_dup_clusters,
+    )
+    from entity_resolution_spark.operators.repetition import repetition_stats
+    from entity_resolution_spark.operators.sampling import token_budget_sample
+
+    spark = SparkSession.builder.appName("corpus-prep").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval_path)
+    funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    # 1. row-local quality gates (length + repetition), cheapest first
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    docs = docs.withColumn("n_tokens", F.size(toks)).where(
+        F.col("n_tokens") >= args.min_tokens
+    )
+    rep = repetition_stats(docs, text_col="text", id_col="doc_id")
+    bad = rep.where(
+        (F.col("line_chars") > 0)
+        & (F.col("dup_chars") * 100 > F.col("line_chars") * args.max_dup_line_pct)
+    ).select("doc_id")
+    docs = docs.join(bad, "doc_id", "left_anti")
+    funnel.append(("quality", docs.count()))
+
+    # 2. exact dedup (keep each group's min doc_id), then near-dedup by
+    #     3-gram jaccard clusters within language
+    exact_keep = (
+        exact_dup_groups(docs, id_col="doc_id", text_col="text")
+        .where(F.col("doc_id") == F.col("dup_group"))
+        .select("doc_id")
+    )
+    docs = docs.join(exact_keep, "doc_id", "left_semi")
+    near = jaccard_dup_clusters(
+        docs, "doc_id", "text", "lang", threshold=args.jaccard_threshold
+    )
+    near_keep = near.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
+    docs = docs.join(near_keep.select("doc_id"), "doc_id", "left_semi")
+    funnel.append(("dedup", docs.count()))
+
+    # 3. benchmark decontamination (drop any doc sharing a 13-gram window)
+    flags = decontaminate(docs, eval_docs, text_col="text", id_col="doc_id")
+    docs = docs.join(
+        flags.where(~F.col("is_contaminated")).select("doc_id"), "doc_id",
+        "left_semi",
+    )
+    funnel.append(("decontaminated", docs.count()))
+
+    # 4. per-source token budget, then chunk only the kept docs
+    sample = token_budget_sample(
+        docs.select("doc_id", "source", "n_tokens"),
+        budget_tokens=args.budget_tokens,
+        bucket_col="source",
+        id_col="doc_id",
+    )
+    docs = docs.join(
+        sample.where("kept").select("doc_id"), "doc_id", "left_semi"
+    )
+    funnel.append(("sampled", docs.count()))
+
+    chunks = chunk_documents(
+        docs, text_col="text", id_col="doc_id",
+        chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+    )
+    chunks.write.mode("overwrite").parquet(args.output)
+    n_chunks = spark.read.parquet(args.output).count()
+    funnel.append(("chunks", n_chunks))
+
+    for stage, n in funnel:
+        print(f"# corpus_prep {stage}: {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,64 @@
+"""End-to-end corpus-preparation job: funnel correctness on a corpus crafted
+so every stage actually cuts rows."""
+
+import sys
+
+
+def test_corpus_prep_job_funnel(spark, tmp_path, monkeypatch, capsys):
+    import jobs.corpus_prep_job as job
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    alt = "one two three four five six seven eight nine ten " * 4
+    rows = []
+    # per source: 3 docs sharing the `base` body, 3 sharing `alt`
+    for s in range(2):
+        for i in range(3):
+            rows.append((s * 100 + i, f"doc{s}{i} " + base + f"tail{s}{i}",
+                         "en", f"src{s}"))
+        for i in range(3, 6):
+            rows.append((s * 100 + i, f"doc{s}{i} " + alt + f"tail{s}{i}",
+                         "en", f"src{s}"))
+    rows.append((900, "tiny doc", "en", "src0"))             # fails min-tokens
+    rows.append((901, "same line here\n" * 12, "en", "src0"))  # dup-line gate
+    rows.append((902, rows[0][1], "en", "src1"))             # exact dup of doc 0
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    # eval set = one base-family doc: decontamination must drop exactly the
+    # base family (they all contain verbatim 13-token windows of `base`)
+    evp = str(tmp_path / "eval")
+    docs.where("doc_id = 101").write.parquet(evp)
+    out = str(tmp_path / "chunks")
+
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
+        "--chunk-tokens", "16", "--overlap", "4", "--budget-tokens", "60",
+        "--min-tokens", "5", "--max-dup-line-pct", "30",
+        "--jaccard-threshold", "0.99",
+    ])
+    assert job.main() == 0
+    funnel = {}
+    for line in capsys.readouterr().out.splitlines():
+        if line.startswith("# corpus_prep"):
+            parts = line.split()
+            funnel[parts[2].rstrip(":")] = int(parts[3])
+
+    assert funnel["input"] == 15
+    # min-tokens drops 900; the dup-line gate drops 901
+    assert funnel["quality"] == 13
+    # exact dedup drops 902 (byte-clone of doc 0); near-dedup at 0.99
+    # distinct-token jaccard merges nothing (each doc has unique doc/tail
+    # tokens, so jaccard < 0.99)
+    assert funnel["dedup"] == 12
+    # the 6 base-family docs are contaminated against the eval doc; the 6
+    # alt-family docs survive
+    assert funnel["decontaminated"] == 6
+    # alt docs are ~42 tokens each: budget 60/source keeps the first two of
+    # each source's rank order (cum-before 0 and ~42 < 60), drops the third
+    assert funnel["sampled"] == 4
+    chunks = spark.read.parquet(out)
+    assert {"doc_id", "chunk_idx", "token_start", "n_tokens",
+            "chunk_text"} <= set(chunks.columns)
+    assert funnel["chunks"] == chunks.count() > 0
