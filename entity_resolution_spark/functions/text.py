@@ -29,6 +29,22 @@ def distinct_tokens(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(tokens(col)))
 
 
+def ws_tokens(col: Column | str, lower: bool = True) -> Column:
+    """Whitespace tokens (split on /\\s+/, empties dropped, NULL text → []).
+
+    THE shared tokenizer of every oracled corpus-prep operator (repetition,
+    decontamination, rarity, chunking, budget sampling): each carries the
+    "identical on both engines" contract, so the definition must not drift
+    between them — change it here or nowhere. ``lower=False`` preserves case
+    for operators whose output is training payload (chunk text), not a key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c.cast("string"), F.lit(""))
+    if lower:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
 def shingles(tok: Column, k: int = 5) -> Column:
     """k-token shingles (space-joined sliding windows) over a token array.
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from entity_resolution_spark.functions.text import ws_tokens
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -43,9 +45,7 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
 
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = ws_tokens(F.col(text_col), lower=False)
     n = F.size("_toks")
     num_chunks = F.when(n <= 0, F.lit(0)).when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)) + 1

@@ -28,10 +28,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from entity_resolution_spark.functions.text import ws_tokens
+
 
 def ngram_array(text: Column, n: int) -> Column:
     """Row-local distinct token n-grams of ``text`` (codegen'd, no UDF)."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    toks = ws_tokens(text)
     size = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING range — guard short docs
     grams = F.when(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from entity_resolution_spark.functions.text import ws_tokens
+
 
 def unigram_rarity_stats(
     docs: DataFrame, text_col: str = "content", id_col: str = "unique_id"
@@ -39,8 +41,7 @@ def unigram_rarity_stats(
     - empty docs keep 0/0/0/0. All outputs bigint.
     """
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    toks = F.filter(F.split(F.lower("_t"), r"\s+"), lambda t: t != F.lit(""))
-    base = d.select("_id", toks.alias("_toks"))
+    base = d.select("_id", ws_tokens("_t").alias("_toks"))
 
     exploded = base.select(
         "_id",
@@ -55,8 +56,11 @@ def unigram_rarity_stats(
         .agg(F.count("*").alias("_df"))
         .select(
             "_tok",
+            # integral DIV, not floor(double /): a double quotient can round
+            # UP across a power of two for n_docs ≥ 2^53 and drift from the
+            # oracle's `//` — same latent-overflow class as the sampling hash
             (
-                F.length(F.bin(F.floor(F.lit(n_docs) / F.col("_df")))) - 1
+                F.length(F.bin(F.expr(f"CAST({int(n_docs)} AS BIGINT) DIV _df"))) - 1
             ).cast("bigint").alias("_rarity"),
         )
     )

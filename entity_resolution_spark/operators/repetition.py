@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from entity_resolution_spark.functions.text import ws_tokens
+
 
 def repetition_stats(
     docs: DataFrame, text_col: str = "content", id_col: str = "unique_id"
@@ -59,7 +61,7 @@ def repetition_stats(
         F.sum(F.col("_c") * F.length("_line")).alias("line_chars"),
     )
 
-    toks = F.filter(F.split(F.lower("_t"), r"\s+"), lambda t: t != F.lit(""))
+    toks = ws_tokens("_t")
     base = d.select("_id", toks.alias("_toks"))
     n = F.size("_toks")
     bigrams = F.when(

@@ -1516,9 +1516,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
-        ).alias("n_tokens"),
+        F.size(TX.ws_tokens("text")).alias("n_tokens"),
     )
     return token_budget_sample(
         d, budget_tokens=700, bucket_col="source", id_col="doc_id"

@@ -10,13 +10,16 @@ operators into the standard pretraining prep flow.
         --eval   <benchmark/eval documents parquet (same schema)> \
         --output <prepared chunks path> \
         [--chunk-tokens 512] [--overlap 64] [--budget-tokens 1000000] \
-        [--min-tokens 5] [--max-dup-line-pct 30] [--jaccard-threshold 0.8]
+        [--min-tokens 5] [--max-dup-char-pct 20] [--jaccard-threshold 0.8]
 
 Stage order is the cheap-filter-first rule: row-local quality gates prune
 before anything shuffles; dedup (one census shuffle + banded candidate join)
 runs on the survivors; decontamination is a broadcast lookup; chunking is
 map-only; budget sampling shuffles only (id, source, n_tokens). Every stage
-prints its row count so a run documents its own funnel.
+prints its row count so a run documents its own funnel, and each surviving
+frame is eagerly localCheckpoint'ed at the stage boundary so the funnel
+count and the following stages read the materialized survivors instead of
+re-running the whole upstream lineage per action.
 """
 
 from __future__ import annotations
@@ -40,7 +43,9 @@ def main() -> int:
     ap.add_argument("--overlap", type=int, default=64)
     ap.add_argument("--budget-tokens", type=int, default=1_000_000)
     ap.add_argument("--min-tokens", type=int, default=5)
-    ap.add_argument("--max-dup-line-pct", type=int, default=30)
+    # gates the duplicate-line CHARACTER fraction dup_chars/line_chars
+    # (Gopher §A1.1 "duplicate line character fraction", default threshold 0.20)
+    ap.add_argument("--max-dup-char-pct", type=int, default=20)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     args = ap.parse_args()
 
@@ -56,21 +61,22 @@ def main() -> int:
     spark = SparkSession.builder.appName("corpus-prep").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    from entity_resolution_spark.functions.text import ws_tokens
+
     docs = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval_path)
     funnel: list[tuple[str, int]] = [("input", docs.count())]
 
     # 1. row-local quality gates (length + repetition), cheapest first
-    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
-    docs = docs.withColumn("n_tokens", F.size(toks)).where(
-        F.col("n_tokens") >= args.min_tokens
-    )
+    docs = docs.withColumn(
+        "n_tokens", F.size(ws_tokens("text", lower=False))
+    ).where(F.col("n_tokens") >= args.min_tokens)
     rep = repetition_stats(docs, text_col="text", id_col="doc_id")
     bad = rep.where(
         (F.col("line_chars") > 0)
-        & (F.col("dup_chars") * 100 > F.col("line_chars") * args.max_dup_line_pct)
+        & (F.col("dup_chars") * 100 > F.col("line_chars") * args.max_dup_char_pct)
     ).select("doc_id")
-    docs = docs.join(bad, "doc_id", "left_anti")
+    docs = docs.join(bad, "doc_id", "left_anti").localCheckpoint(eager=True)
     funnel.append(("quality", docs.count()))
 
     # 2. exact dedup (keep each group's min doc_id), then near-dedup by
@@ -85,7 +91,9 @@ def main() -> int:
         docs, "doc_id", "text", "lang", threshold=args.jaccard_threshold
     )
     near_keep = near.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
-    docs = docs.join(near_keep.select("doc_id"), "doc_id", "left_semi")
+    docs = docs.join(
+        near_keep.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
     funnel.append(("dedup", docs.count()))
 
     # 3. benchmark decontamination (drop any doc sharing a 13-gram window)
@@ -93,7 +101,7 @@ def main() -> int:
     docs = docs.join(
         flags.where(~F.col("is_contaminated")).select("doc_id"), "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=True)
     funnel.append(("decontaminated", docs.count()))
 
     # 4. per-source token budget, then chunk only the kept docs
@@ -105,7 +113,7 @@ def main() -> int:
     )
     docs = docs.join(
         sample.where("kept").select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     funnel.append(("sampled", docs.count()))
 
     chunks = chunk_documents(

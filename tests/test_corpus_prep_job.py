@@ -35,7 +35,7 @@ def test_corpus_prep_job_funnel(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", [
         "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
         "--chunk-tokens", "16", "--overlap", "4", "--budget-tokens", "60",
-        "--min-tokens", "5", "--max-dup-line-pct", "30",
+        "--min-tokens", "5", "--max-dup-char-pct", "30",
         "--jaccard-threshold", "0.99",
     ])
     assert job.main() == 0

@@ -33,3 +33,12 @@ def test_unigram_rarity_empty_doc_zeroed(spark):
             out[2]["sum_rarity"], out[2]["max_rarity"]) == (0, 0, 0, 0)
     # df=1 for both tokens of doc 1 over n_docs=2: rarity 1 each
     assert (out[1]["sum_rarity"], out[1]["max_rarity"]) == (2, 1)
+
+
+def test_unigram_rarity_null_text_zeroed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "unique_id long, content string"
+    )
+    out = {r["unique_id"]: r for r in unigram_rarity_stats(docs).collect()}
+    assert (out[2]["n_tokens"], out[2]["distinct_tokens"],
+            out[2]["sum_rarity"], out[2]["max_rarity"]) == (0, 0, 0, 0)
