@@ -5,12 +5,22 @@ of metadata; decode / feature-extract / resize / frame-sample run as Arrow-batch
 ``mapInPandas`` operators so each task streams record batches without ever
 collecting to the driver.
 
-The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this container,
-so the decode kernels are STUBBED: ``decode_stub=True`` (default) derives
-deterministic fake features from the bytes (sha-seeded), clearly marked; with
-``decode_stub=False`` the operators raise ``NotImplementedError`` at the exact
-point a real codec plugs in. Everything Spark-side — schema, batching,
-partitioning, UDF signatures — is real and tested.
+Codec policy (three tiers, decided per row by ``meta.codec``):
+
+1. ``raw8`` — REAL math, no external codec needed: the payload is raw 8-bit
+   grayscale pixels (images: ``width·height`` bytes; video: concatenated
+   frames of ``width·height`` bytes each). Decode, histogram features,
+   nearest-neighbor resize and frame slicing are genuine numpy kernels with
+   golden tests — the full operator path runs end-to-end on raw media.
+2. compressed codecs (png/h264/opus/…) with ``decode_stub=True`` (default) —
+   deterministic sha-seeded fakes, clearly marked: PIL/ffmpeg are NOT in this
+   container, so the fake keeps schema/batching/fan-out identical to a real
+   decode while being stable across runs and partitions.
+3. ``decode_stub=False`` — raise ``NotImplementedError`` at the exact point a
+   real codec plugs in.
+
+Everything Spark-side — schema, batching, partitioning, UDF signatures — is
+identical across the three tiers.
 """
 
 from __future__ import annotations
@@ -28,6 +38,32 @@ MEDIA_SCHEMA = (
 )
 
 _EMBED_DIM = 16
+
+
+def _raw8_pixels(payload: bytes, meta) -> np.ndarray | None:
+    """raw8 payload + meta(width, height) → (h, w) uint8 array, or None when
+    the meta/payload contract is broken (caller falls back to the stub)."""
+    m = meta or {}
+    w, h = m.get("width") or 0, m.get("height") or 0
+    if w <= 0 or h <= 0 or payload is None or len(payload) < w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h).reshape(h, w)
+
+
+def _histogram_embedding(values: np.ndarray, dim: int = _EMBED_DIM) -> np.ndarray:
+    """REAL feature vector for raw media: unit-norm ``dim``-bin intensity
+    histogram of the decoded 8-bit samples."""
+    hist = np.bincount(values.ravel() >> max(0, 8 - dim.bit_length() + 1), minlength=dim)[:dim]
+    v = hist.astype(np.float64)
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def _nn_index(dst_n: int, src_n: int) -> np.ndarray:
+    """Nearest-neighbor sample positions: src_i = floor((dst_i + 0.5)·src/dst),
+    in exact integer arithmetic."""
+    d = np.arange(dst_n, dtype=np.int64)
+    return (2 * d + 1) * src_n // (2 * dst_n)
 
 
 def _stub_embedding(payload: bytes, dim: int = _EMBED_DIM) -> np.ndarray:
@@ -51,12 +87,21 @@ def extract_media_features(
     partition).
     """
 
+    def one_embedding(payload, meta) -> list[float]:
+        codec = (meta or {}).get("codec")
+        if codec == "raw8":
+            # REAL decode: intensity histogram over every raw 8-bit sample
+            # (image pixels / all video frames / audio PCM alike)
+            arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            return _histogram_embedding(arr, dim).tolist()
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires PIL/ffmpeg — plug the codec in here"
+            )
+        return _stub_embedding(payload, dim).tolist()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — plug the codec in here"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -66,9 +111,10 @@ def extract_media_features(
                     "payload_sha": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "embedding": payloads.map(
-                        lambda b: _stub_embedding(b, dim).tolist()
-                    ),
+                    "embedding": [
+                        one_embedding(b, m)
+                        for b, m in zip(payloads, pdf["meta"])
+                    ],
                 }
             )
 
@@ -84,20 +130,28 @@ def extract_media_features(
 def resize_images(
     media: DataFrame, width: int, height: int, decode_stub: bool = True
 ) -> DataFrame:
-    """mapInPandas resize: real implementation decodes + resamples; the stub
-    re-hashes the payload with the target dims so output bytes are deterministic
-    and dimension-dependent (schema/partitioning identical to the real op)."""
+    """mapInPandas resize. ``raw8`` images get a REAL nearest-neighbor
+    resample (golden-tested pixel selection); compressed codecs fall to the
+    sha stub (deterministic, dimension-dependent bytes) or, with
+    ``decode_stub=False``, to the codec plug point."""
+
+    def one_resize(payload, meta):
+        if (meta or {}).get("codec") == "raw8":
+            px = _raw8_pixels(payload, meta)
+            if px is not None:
+                ri = _nn_index(height, px.shape[0])
+                ci = _nn_index(width, px.shape[1])
+                return px[np.ix_(ri, ci)].tobytes()
+        if not decode_stub:
+            raise NotImplementedError("real resize requires an image codec")
+        return hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real resize requires an image codec")
             out = pdf[pdf["kind"] == "image"].copy()
-            out["payload"] = out["payload"].map(
-                lambda b: hashlib.sha256(
-                    (b or b"") + f"{width}x{height}".encode()
-                ).digest()
-            )
+            out["payload"] = [
+                one_resize(b, m) for b, m in zip(out["payload"], out["meta"])
+            ]
             yield out[["media_id", "kind", "payload"]]
 
     return media.mapInPandas(op, schema="media_id string, kind string, payload binary")
@@ -107,28 +161,45 @@ def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (explode on the decode
-    axis). The stub derives frame count from meta.duration_ms — the fan-out,
-    ordering and schema are exactly what a real ffmpeg-based kernel produces."""
+    axis). ``raw8`` video (payload = concatenated width·height-byte frames)
+    gets REAL slicing: ts maps to the stored frame at
+    ``min(n_frames−1, ts·n_frames // duration_ms)`` and the emitted bytes ARE
+    that frame. Compressed codecs fall to the sha stub (same fan-out,
+    ordering and schema) or the ffmpeg plug point."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             rows = []
             vids = pdf[pdf["kind"] == "video"]
             for media_id, payload, meta in zip(
                 vids["media_id"], vids["payload"], vids["meta"]
             ):
-                duration = (meta or {}).get("duration_ms") or 0
-                for i, ts in enumerate(range(0, int(duration), every_ms)):
+                m = meta or {}
+                duration = int(m.get("duration_ms") or 0)
+                fsize = (m.get("width") or 0) * (m.get("height") or 0)
+                raw8 = (
+                    m.get("codec") == "raw8"
+                    and fsize > 0
+                    and payload is not None
+                    and len(payload) >= fsize
+                )
+                if not raw8 and not decode_stub:
+                    raise NotImplementedError("real frame sampling requires ffmpeg")
+                n_frames = len(payload) // fsize if raw8 else 0
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    if raw8:
+                        fi = min(n_frames - 1, ts * n_frames // duration)
+                        frame = payload[fi * fsize : (fi + 1) * fsize]
+                    else:
+                        frame = hashlib.sha256(
+                            (payload or b"") + str(ts).encode()
+                        ).digest()
                     rows.append(
                         {
                             "media_id": media_id,
                             "frame_index": i,
                             "ts_ms": ts,
-                            "frame": hashlib.sha256(
-                                (payload or b"") + str(ts).encode()
-                            ).digest(),
+                            "frame": frame,
                         }
                     )
             yield pd.DataFrame(
@@ -138,6 +209,31 @@ def sample_video_frames(
     return media.mapInPandas(
         op, schema="media_id string, frame_index int, ts_ms long, frame binary"
     )
+
+
+def synth_raw8_media(spark, n: int = 30, seed: int = 7) -> DataFrame:
+    """Deterministic raw8 media table: images carry width·height pixel bytes,
+    videos carry one width·height frame per second of duration — the REAL
+    decode tier runs end-to-end on this."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "video"][i % 2]
+        w, h = 8, 6
+        if kind == "image":
+            payload = bytes(rng.getrandbits(8) for _ in range(w * h))
+            meta = {"width": w, "height": h, "duration_ms": None, "codec": "raw8"}
+        else:
+            secs = 3 + (i % 3)
+            payload = bytes(rng.getrandbits(8) for _ in range(w * h * secs))
+            meta = {
+                "width": w, "height": h,
+                "duration_ms": secs * 1000, "codec": "raw8",
+            }
+        rows.append((f"r{i:04d}", kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:

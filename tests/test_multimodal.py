@@ -56,3 +56,59 @@ def test_real_decode_is_marked_unimplemented(spark):
     media = synth_media(spark, n=3)
     with pytest.raises(Exception):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_raw8_resize_golden(spark):
+    """Real nearest-neighbor math: 4x2 image to 2x1 picks the exact pixels
+    src_i = floor((dst_i + 0.5) * src/dst)."""
+    payload = bytes([10, 20, 30, 40,
+                     50, 60, 70, 80])
+    media = spark.createDataFrame(
+        [("img", "image", payload,
+          {"width": 4, "height": 2, "duration_ms": None, "codec": "raw8"})],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    out = resize_images(media, width=2, height=1).collect()[0]
+    # rows: dst 0 -> src floor(0.5*2)=1; cols: dst 0 -> floor(0.5*2)=1? No:
+    # col index = floor((d+0.5)*4/2) = floor(1.0)=1, floor(3.0)=3
+    assert list(out["payload"]) == [60, 80]
+
+
+def test_raw8_frame_sampling_slices_stored_frames(spark):
+    w, h, secs = 2, 2, 3
+    frames = [bytes([i] * (w * h)) for i in range(secs)]
+    media = spark.createDataFrame(
+        [("vid", "video", b"".join(frames),
+          {"width": w, "height": h, "duration_ms": secs * 1000, "codec": "raw8"})],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    rows = sorted(
+        sample_video_frames(media, every_ms=1000).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert len(rows) == 3
+    # ts 0/1000/2000 map to stored frames 0/1/2; emitted bytes ARE the frames
+    for i, r in enumerate(rows):
+        assert list(r["frame"]) == [i] * (w * h)
+
+
+def test_raw8_features_are_real_histograms(spark):
+    from entity_resolution_spark.operators.multimodal import synth_raw8_media
+
+    media = synth_raw8_media(spark, n=10)
+    # raw8 never hits the stub: decode_stub=False must NOT raise
+    rows = extract_media_features(media, decode_stub=False).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-9
+    # a constant image has all mass in one bin
+    const = spark.createDataFrame(
+        [("c", "image", bytes([255] * 48),
+          {"width": 8, "height": 6, "duration_ms": None, "codec": "raw8"})],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    emb = extract_media_features(const).collect()[0]["embedding"]
+    assert emb[-1] == 1.0 and sum(emb[:-1]) == 0.0
