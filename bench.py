@@ -64,6 +64,7 @@ HEADLINE = [
     "chunk_docs",
     "token_budget_sample",
     "unigram_rarity_docs",
+    "repeated_substrings_docs",
 ]
 
 

@@ -31,19 +31,24 @@ from pyspark.sql import functions as F
 from entity_resolution_spark.functions.text import ws_tokens
 
 
-def ngram_array(text: Column, n: int) -> Column:
-    """Row-local distinct token n-grams of ``text`` (codegen'd, no UDF)."""
+def ngram_windows(text: Column, n: int) -> Column:
+    """Row-local token n-gram WINDOWS of ``text`` in position order (one
+    element per window start, duplicates preserved; codegen'd, no UDF)."""
     toks = ws_tokens(text)
     size = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING range — guard short docs
-    grams = F.when(
+    return F.when(
         size >= n,
         F.transform(
             F.sequence(F.lit(1), size - n + 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """Row-local DISTINCT token n-grams of ``text`` (set semantics)."""
+    return F.array_distinct(ngram_windows(text, n))
 
 
 def eval_ngram_set(

@@ -1,0 +1,85 @@
+"""Cross-document repeated-substring detection — the distributed re-expression
+of the suffix-array dedup family (Lee et al. 2021, "Deduplicating Training
+Data Makes Language Models Better"): find spans of ≥ ``n`` consecutive tokens
+that occur verbatim in MORE THAN ONE document, per document.
+
+Where the paper builds one giant suffix array, the Spark shape is a window
+census: every ``n``-token window of every doc, one hash shuffle on the window
+to count distinct documents, a join back (reusing the window partitioning),
+and a gaps-and-islands pass per document to recover maximal repeated SPANS
+from consecutive repeated window starts — a run of ``r`` consecutive repeated
+windows is a duplicated span of ``r + n − 1`` tokens. At 100 TB the census
+table is the working set (windows ≪ suffixes, and the count aggregate
+combines map-side); windows travel as strings here for oracle exactness —
+a production deployment hashes them to int64 first (same plan shape).
+
+Within-doc repetition is deliberately NOT counted (that is
+``repetition_stats``); a window qualifies only when ≥ 2 DISTINCT docs carry
+it. All outputs are integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.decontamination import ngram_windows
+
+
+def repeated_window_stats(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "unique_id",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, text) → per-doc cross-document repetition stats.
+
+    Output (all bigint): (id, n_windows, repeated_positions, max_repeated_run)
+    — ``n_windows`` = window starts in the doc; ``repeated_positions`` = how
+    many of them begin a window found in ≥ ``min_docs`` distinct docs;
+    ``max_repeated_run`` = the longest run of CONSECUTIVE repeated starts
+    (longest duplicated span = max_repeated_run + n − 1 tokens; 0 if none).
+    """
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    base = d.select("_id", ngram_windows(F.col("_t"), n).alias("_ws"))
+    ex = base.select(
+        "_id", F.posexplode("_ws").alias("_i", "_w")
+    ).select("_id", (F.col("_i") + 1).alias("_pos"), "_w")
+
+    census = (
+        ex.groupBy("_w")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_w")
+    )
+    rep = ex.join(census, "_w")  # same _w partitioning as the census shuffle
+
+    # gaps-and-islands: consecutive repeated starts share (_pos − row_number)
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = (
+        rep.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+        .groupBy("_id", "_grp")
+        .agg(F.count("*").alias("_run"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_run").alias("repeated_positions"),
+            F.max("_run").alias("max_repeated_run"),
+        )
+    )
+
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.select("_id", F.size("_ws").alias("n_windows"))
+        .join(runs, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("repeated_positions").cast("bigint"), zero).alias(
+                "repeated_positions"
+            ),
+            F.coalesce(F.col("max_repeated_run").cast("bigint"), zero).alias(
+                "max_repeated_run"
+            ),
+        )
+    )

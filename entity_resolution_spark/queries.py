@@ -1589,6 +1589,51 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_repeated_substrings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring stats (the suffix-array dedup family,
+    Lee et al. 2021, as a distributed window census): per doc, how many
+    13-token windows occur verbatim in ≥ 2 docs and the longest consecutive
+    run of them (longest duplicated span = run + 12 tokens)."""
+    from entity_resolution_spark.operators.substrings import repeated_window_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_window_stats(
+        d, text_col="text", id_col="doc_id", n=13, min_docs=2
+    ).orderBy("doc_id")
+
+
+SQL_REPEATED_SUBSTRINGS_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i:i+12], ' ') AS w
+  FROM (
+    SELECT doc_id, tk,
+           unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+    FROM toks
+  )
+), census AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+), runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM wins JOIN census USING (w)
+), agg AS (
+  SELECT doc_id, sum(cnt) AS repeated_positions, max(cnt) AS max_repeated_run
+  FROM (SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.tk) - 12, 0) AS BIGINT)        AS n_windows,
+       CAST(COALESCE(a.repeated_positions, 0) AS BIGINT)  AS repeated_positions,
+       CAST(COALESCE(a.max_repeated_run, 0) AS BIGINT)    AS max_repeated_run
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1633,6 +1678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "token_budget_sample": q_token_budget_sample,
     "unigram_rarity_docs": q_unigram_rarity_docs,
+    "repeated_substrings_docs": q_repeated_substrings_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1667,6 +1713,7 @@ ORACLES: dict[str, str] = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "unigram_rarity_docs": SQL_UNIGRAM_RARITY_DOCS,
+    "repeated_substrings_docs": SQL_REPEATED_SUBSTRINGS_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
