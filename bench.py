@@ -65,6 +65,8 @@ HEADLINE = [
     "token_budget_sample",
     "unigram_rarity_docs",
     "repeated_substrings_docs",
+    "dedup_survivors_docs",
+    "source_overlap_docs",
 ]
 
 

@@ -377,3 +377,51 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def canonical_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Materialize a dedup decision: per cluster keep ONE canonical document.
+
+    Dedup is not done when pairs/clusters are found — a training pipeline must
+    decide which copy survives. The keep rule mirrors the common corpus recipe
+    (RefinedWeb/SlimPajama keep-one): the member with the MOST whitespace
+    tokens wins (the longest copy usually carries the least truncation), ties
+    broken by the smallest id (deterministic on any engine/partitioning).
+
+    ``clusters``: (id_col, cluster_col) as produced by
+    :func:`jaccard_dup_clusters` / :func:`exact_dup_groups` (any labeling
+    where the cluster id is orderable works). Output: one row per INPUT doc —
+    (id, cluster, n_tokens, keep boolean) — so both the survivor list
+    (``keep``) and the drop audit (``NOT keep``) fall out of one frame.
+
+    Scale shape: one exchange on the cluster id feeding a single window sort;
+    no self-join, no collect. Cluster sizes are near-dup family sizes — the
+    band caps upstream (``_band_candidates``) bound them, so the per-key sort
+    is bounded too. All non-boolean outputs are integers (oracle-hash safe).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        TX.token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    ).join(
+        clusters.select(
+            F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+        ),
+        "_id",
+    )
+    w = Window.partitionBy("_cl").orderBy(
+        F.col("n_tokens").desc(), F.col("_id").asc()
+    )
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").alias(cluster_col),
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -83,3 +83,39 @@ def repeated_window_stats(
             ),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "content",
+    group_col: str = "source",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-slice contamination audit: for every pair of corpus slices
+    (sources, dumps, train/eval splits), how many distinct ``n``-token windows
+    they share verbatim — the corpus-level view of the same window census
+    :func:`repeated_window_stats` takes per document (the split-hygiene audit
+    a training pipeline runs before mixing sources or trusting a held-out
+    slice; same rule family as ``operators/decontamination.py``).
+
+    Output: (source_a, source_b, shared_windows bigint), source_a < source_b,
+    only pairs with ≥ 1 shared window (integer-only, oracle-hash safe).
+
+    Scale shape: the working set is the DISTINCT (slice, window) census — one
+    aggregation exchange on the window — and the self-join fans out per window
+    by the number of slices carrying it, bounded by the (small) slice count,
+    never by document count; a boilerplate window shared by every slice costs
+    |slices|² rows, not |docs|². The pair count then combines map-side.
+    """
+    d = docs.select(
+        F.col(group_col).alias("_g"), ngram_windows(F.col(text_col), n).alias("_ws")
+    )
+    gw = d.select("_g", F.explode("_ws").alias("_w")).distinct()
+    a = gw.select(F.col("_g").alias("source_a"), "_w")
+    b = gw.select(F.col("_g").alias("source_b"), "_w")
+    return (
+        a.join(b, "_w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_windows"))
+    )

@@ -1634,6 +1634,90 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup MATERIALIZATION: the ≥0.6-jaccard near-dup clusters (same graph as
+    ``cc_jaccard_docs``) reduced to a keep/drop decision per doc — most tokens
+    wins, ties to the smallest id (RefinedWeb/SlimPajama keep-one recipe).
+    ``keep`` travels as bigint 0/1 so the hashed values carry no booleans."""
+    from entity_resolution_spark.operators.dedup import canonical_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = q_cc_jaccard_docs(spark, sf_dir)
+    out = canonical_survivors(
+        d, clusters, id_col="doc_id", text_col="text", cluster_col="component"
+    )
+    return out.select(
+        "doc_id",
+        F.col("component").alias("cluster"),
+        "n_tokens",
+        F.col("keep").cast("bigint").alias("keep"),
+    )
+
+
+SQL_DEDUP_SURVIVORS_DOCS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.6
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
+), tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id, c.cluster,
+       CAST(k.n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY c.cluster
+              ORDER BY k.n_tokens DESC, c.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp c JOIN tok k USING (doc_id)
+"""
+
+
+def q_source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice contamination audit: distinct 13-token windows shared
+    verbatim between every pair of sources — the split-hygiene census a
+    pipeline runs before trusting a held-out slice."""
+    from entity_resolution_spark.operators.substrings import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, text_col="text", group_col="source", n=13)
+
+
+SQL_SOURCE_OVERLAP_DOCS = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), gw AS (
+  SELECT DISTINCT source, array_to_string(tk[i:i+12], ' ') AS w
+  FROM (
+    SELECT source, tk,
+           unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+    FROM toks
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM gw a JOIN gw b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1679,6 +1763,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": q_token_budget_sample,
     "unigram_rarity_docs": q_unigram_rarity_docs,
     "repeated_substrings_docs": q_repeated_substrings_docs,
+    "dedup_survivors_docs": q_dedup_survivors_docs,
+    "source_overlap_docs": q_source_overlap_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1714,6 +1800,8 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "unigram_rarity_docs": SQL_UNIGRAM_RARITY_DOCS,
     "repeated_substrings_docs": SQL_REPEATED_SUBSTRINGS_DOCS,
+    "dedup_survivors_docs": SQL_DEDUP_SURVIVORS_DOCS,
+    "source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).

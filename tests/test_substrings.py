@@ -53,3 +53,51 @@ def test_repeated_window_stats_min_docs(spark):
     # "a b c" is in all 3 docs; the doc-specific windows are in 1 each
     for i in (1, 2, 3):
         assert (out3[i]["repeated_positions"], out3[i]["max_repeated_run"]) == (1, 1)
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    # n=3: srcA/srcB share windows "a b c" and "b c d"; srcC shares nothing
+    # cross-source. Within-source repeats (two srcA docs with "a b c") must
+    # count the window ONCE per source, not once per doc.
+    docs = spark.createDataFrame(
+        [
+            ("srcA", "a b c d"),
+            ("srcA", "a b c q"),       # duplicate "a b c" within srcA
+            ("srcB", "z a b c d"),
+            ("srcC", "m n o p"),
+        ],
+        "source string, content string",
+    )
+    from entity_resolution_spark.operators.substrings import source_overlap_matrix
+
+    rows = source_overlap_matrix(docs, n=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"], r["shared_windows"]) == ("srcA", "srcB", 2)
+
+
+def test_canonical_survivors_keep_rule(spark):
+    # cluster 1 = docs 1,2,3 (doc 2 longest -> keep); cluster 10 = doc 10 alone.
+    # Tie inside cluster 20: docs 20,21 same length -> min id (20) wins.
+    from entity_resolution_spark.operators.dedup import canonical_survivors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y"),
+            (2, "x y z w"),
+            (3, "x"),
+            (10, "solo doc"),
+            (20, "a b c"),
+            (21, "d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+        "doc_id long, cluster long",
+    )
+    out = {r["doc_id"]: r for r in canonical_survivors(docs, clusters).collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert out[2]["n_tokens"] == 4
+    assert out[10]["keep"] is True
+    assert (out[20]["keep"], out[21]["keep"]) == (True, False)
