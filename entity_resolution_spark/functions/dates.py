@@ -191,3 +191,99 @@ def standardized_date_keys(text: Column) -> Column:
             )
         )
     )
+
+
+# --- Time standardisation (reference am_combiner/features/time.py:9-118) ----
+#
+# The reference's TimeStandardisationVisitor normalises am/pm spellings, then
+# tries exactly five strptime patterns ("%I %p", "%I%p", "%I:%M %p",
+# "%I:%M%p", "%H:%M"); a mention that none of them full-match falls back to a
+# regex scan whose hits are themselves re-parsed, unparseable hits kept RAW
+# (time.py:99-110 — including the documented "3.17AM -> 17AM" quirk, which the
+# golden tests pin). Everything below is a pure Column expression; the
+# strptime patterns are translated to CPython _strptime's own group regexes
+# (%I = 1[0-2]|0[1-9]|[1-9], %M = [0-5]\d|\d, %H = 2[0-3]|[01]\d|\d, format
+# whitespace = \s+, IGNORECASE) so the full-match semantics are identical.
+
+_H12 = r"(1[0-2]|0[1-9]|[1-9])"
+_H24 = r"(2[0-3]|[01]\d|\d)"
+_MIN = r"([0-5]\d|\d)"
+_TIME_FALLBACK_RE = r"\d{1,2}:?(?:\d{2})?\s?(?:AM|PM|am|pm)"
+
+
+def _time_hms(h24: Column, minute: Column) -> Column:
+    """str(datetime.time(h, m)) — zero-padded 'HH:MM:00'."""
+    return F.concat_ws(
+        ":",
+        F.lpad(h24.cast("string"), 2, "0"),
+        F.lpad(minute.cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+
+
+def _meridiem_h24(h12: Column, mer: Column) -> Column:
+    return (h12.cast("int") % 12) + F.when(
+        F.upper(mer) == "PM", F.lit(12)
+    ).otherwise(F.lit(0))
+
+
+def _try_parse_time(t: Column) -> Column:
+    """'HH:MM:00' of the last reference pattern that full-matches, else NULL.
+
+    The five patterns are mutually exclusive on any one string (meridiem
+    presence and the colon/space shape differ), so the reference's
+    keep-last-success loop (time.py:69-77) reduces to a first-match chain.
+    """
+    p_h24 = r"^" + _H24 + ":" + _MIN + r"$"
+    p_hm_mer_tight = r"(?i)^" + _H12 + ":" + _MIN + r"(AM|PM)$"
+    p_hm_mer = r"(?i)^" + _H12 + ":" + _MIN + r"\s+(AM|PM)$"
+    p_h_mer_tight = r"(?i)^" + _H12 + r"(AM|PM)$"
+    p_h_mer = r"(?i)^" + _H12 + r"\s+(AM|PM)$"
+
+    def h12(pat: str, with_min: bool) -> Column:
+        h = F.regexp_extract(t, pat, 1)
+        m = F.regexp_extract(t, pat, 2) if with_min else F.lit("0")
+        mer = F.regexp_extract(t, pat, 3 if with_min else 2)
+        return _time_hms(_meridiem_h24(h, mer), m)
+
+    return (
+        F.when(
+            t.rlike(p_h24),
+            _time_hms(
+                F.regexp_extract(t, p_h24, 1).cast("int"),
+                F.regexp_extract(t, p_h24, 2),
+            ),
+        )
+        .when(t.rlike(p_hm_mer_tight), h12(p_hm_mer_tight, True))
+        .when(t.rlike(p_hm_mer), h12(p_hm_mer, True))
+        .when(t.rlike(p_h_mer_tight), h12(p_h_mer_tight, False))
+        .when(t.rlike(p_h_mer), h12(p_h_mer, False))
+    )
+
+
+def _standardize_one_time(t: Column) -> Column:
+    """One raw mention -> array of standardised-or-raw strings (time.py:92-110)."""
+    n = F.coalesce(t, F.lit(""))
+    # ordered, case-sensitive replaces — exactly _normalise_am_pm (time.py:27-48)
+    for old, new in (("p.m.", "PM"), ("a.m.", "AM"), ("pm", "PM"), ("am", "AM")):
+        n = F.replace(n, F.lit(old), F.lit(new))
+    direct = _try_parse_time(n)
+    fallback = F.transform(
+        F.regexp_extract_all(n, F.lit(_TIME_FALLBACK_RE), 0),
+        lambda m: F.coalesce(_try_parse_time(m), m),
+    )
+    return F.when(direct.isNotNull(), F.array(direct)).otherwise(fallback)
+
+
+def standardize_times(times: Column) -> Column:
+    """array<string> of raw time mentions -> sorted distinct standardised set.
+
+    The TIME -> TIME_CLEAN feature transform (reference time.py:79-118): the
+    per-article result is a set, represented here as a sorted distinct array
+    so downstream blocking keys are deterministic.
+    """
+    per_mention = F.transform(times, _standardize_one_time)
+    return F.coalesce(
+        F.array_sort(F.array_distinct(F.flatten(per_mention))),
+        F.array().cast("array<string>"),
+    )
