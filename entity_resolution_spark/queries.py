@@ -1718,6 +1718,109 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Geographic mention resolution (ArticleGeoVisitor, geography.py:273-394)
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic GPE mentions (public-facts sample lexicon): every
+# doc gets two mentions picked by doc_id so the oracle can replay the choice
+_GEO_MENTION_POOL = [
+    "USA", "Berlin", " uk ", "Texas", "Narnia", "Germany", "IN", "America",
+    "Bavaria", "new delhi", "GB", "Atlantis", "United Kingdom", "washington",
+]
+
+
+def _geo_sample_mapping(spark: SparkSession):
+    from entity_resolution_spark.operators.geo import geo_mapping
+
+    countries = spark.createDataFrame(
+        [
+            ("United States", "US"),
+            ("United Kingdom", "GB"),
+            ("Germany", "DE"),
+            ("India", "IN"),
+        ],
+        ["name", "code"],
+    )
+    aliases = spark.createDataFrame(
+        [
+            ("United States", ["USA", "America", "the states"]),
+            ("United Kingdom", ["UK", "Britain", "Great Britain"]),
+            ("Deutschland", ["Germany", "Bundesrepublik"]),  # primary/alias swap
+        ],
+        "name string, aliases array<string>",
+    )
+    divisions = spark.createDataFrame(
+        [
+            ("US", ["California", "Texas"], "Washington"),
+            ("DE", ["Bavaria"], "Berlin"),
+            ("IN", [], "New Delhi"),
+        ],
+        "code string, states array<string>, capital string",
+    )
+    return geo_mapping(countries, aliases, divisions)
+
+
+def q_geo_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPE -> canonical country per doc (geography.py:345-394): lexicon
+    broadcast join over exploded mentions, misses kept raw. The oracle
+    inlines the EXPECTED mention->country closure, so a geo_mapping builder
+    bug (priority order, primary/alias swap, code/state/capital edges)
+    changes the Spark-side hash and fails the comparison."""
+    from entity_resolution_spark.operators.geo import resolve_geo_mentions
+
+    k = len(_GEO_MENTION_POOL)
+    pool = F.array(*[F.lit(s) for s in _GEO_MENTION_POOL])
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    men = d.select(
+        "doc_id",
+        F.array(
+            F.element_at(pool, (F.col("doc_id") % k + 1).cast("int")),
+            F.element_at(pool, ((F.col("doc_id") * 7 + 3) % k + 1).cast("int")),
+        ).alias("gpe_mentions"),
+    )
+    out = resolve_geo_mentions(
+        men, _geo_sample_mapping(spark), id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", F.concat_ws("|", "gpe_clean").alias("gpe_clean")
+    )
+
+
+SQL_GEO_RESOLVE_DOCS = r"""
+WITH lex(i, s) AS (VALUES
+  (0,'USA'),(1,'Berlin'),(2,' uk '),(3,'Texas'),(4,'Narnia'),(5,'Germany'),
+  (6,'IN'),(7,'America'),(8,'Bavaria'),(9,'new delhi'),(10,'GB'),
+  (11,'Atlantis'),(12,'United Kingdom'),(13,'washington')
+), mapping(mention, country) AS (VALUES
+  ('united states','united states'),('united kingdom','united kingdom'),
+  ('germany','germany'),('india','india'),
+  ('us','united states'),('gb','united kingdom'),('de','germany'),
+  ('in','india'),
+  ('usa','united states'),('america','united states'),
+  ('the states','united states'),
+  ('uk','united kingdom'),('britain','united kingdom'),
+  ('great britain','united kingdom'),
+  ('deutschland','germany'),('bundesrepublik','germany'),
+  ('california','united states'),('texas','united states'),
+  ('bavaria','germany'),
+  ('washington','united states'),('berlin','germany'),('new delhi','india')
+), men AS (
+  SELECT doc_id, doc_id % 14 AS i1, (doc_id * 7 + 3) % 14 AS i2
+  FROM documents
+), ex AS (
+  SELECT doc_id, s FROM men JOIN lex ON lex.i = men.i1
+  UNION ALL
+  SELECT doc_id, s FROM men JOIN lex ON lex.i = men.i2
+), res AS (
+  SELECT DISTINCT e.doc_id, coalesce(m.country, trim(e.s)) AS r
+  FROM ex e LEFT JOIN mapping m ON lower(trim(e.s)) = m.mention
+)
+SELECT doc_id, string_agg(r, '|' ORDER BY r) AS gpe_clean
+FROM res GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1765,6 +1868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_substrings_docs": q_repeated_substrings_docs,
     "dedup_survivors_docs": q_dedup_survivors_docs,
     "source_overlap_docs": q_source_overlap_docs,
+    "geo_resolve_docs": q_geo_resolve_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1802,6 +1906,7 @@ ORACLES: dict[str, str] = {
     "repeated_substrings_docs": SQL_REPEATED_SUBSTRINGS_DOCS,
     "dedup_survivors_docs": SQL_DEDUP_SURVIVORS_DOCS,
     "source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS,
+    "geo_resolve_docs": SQL_GEO_RESOLVE_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
