@@ -159,3 +159,86 @@ def calculate_improvements(
                 improvement[col] = round(frac, 2)
             improvements.append(improvement)
     return improvements
+
+
+def threshold_search(
+    score_fn,
+    t_min: float = 0.0,
+    t_max: float = 1.0,
+    hop_num: int = 5,
+) -> tuple[list[float], list[float]]:
+    """Binary search for the threshold minimizing ``score_fn`` (reference
+    ``features/nn/helpers.py:48-142``).
+
+    ``score_fn(t)`` is typically a full Spark evaluation (cluster at
+    threshold ``t``, compute ``score_to_minimise``) — hop_num+2 evaluations
+    total, recursing into the half adjacent to the lower endpoint score.
+    Returns (tried_thresholds, tried_scores) in evaluation order, exactly the
+    reference sequence. (The reference's mutable-default ``tried_x=[]``
+    accumulator bug — state leaking across calls — is not reproduced.)
+    """
+    tried_x: list[float] = []
+    tried_y: list[float] = []
+
+    def rec(lo: float, hi: float, hops: int, y_lo, y_hi):
+        if hops == 0:
+            return
+        if y_hi is None:
+            y_hi = score_fn(hi)
+            tried_x.append(hi)
+            tried_y.append(y_hi)
+        if y_lo is None:
+            y_lo = score_fn(lo)
+            tried_x.append(lo)
+            tried_y.append(y_lo)
+        mid = 0.5 * (lo + hi)
+        y_mid = score_fn(mid)
+        tried_x.append(mid)
+        tried_y.append(y_mid)
+        if y_lo < y_hi:
+            rec(lo, mid, hops - 1, y_lo, y_mid)
+        else:
+            rec(mid, hi, hops - 1, y_mid, y_hi)
+
+    rec(t_min, t_max, hop_num, None, None)
+    return tried_x, tried_y
+
+
+def cluster_distribution_summary(
+    df,
+    name_col: str = "blocking_key",
+    cluster_col: str = "cluster_id",
+    id_col: str = "unique_id",
+):
+    """Cluster-size distribution census (reference
+    ``utils/distributions.py:56-130`` DataframeDistributionSummariser).
+
+    Returns three DataFrames mirroring the reference's attributes:
+
+    - ``clusters_per_name``: (name, n_clusters) — nunique clusters per name;
+    - ``cluster_count_weights``: (n_clusters, n_names) — how many names have
+      each cluster count (the reference's sampling-weight Counter);
+    - ``weights_for_cluster_sizes``: (n_clusters, n_articles, weight) — for
+      names with a given cluster count, the distribution of per-cluster
+      article counts.
+
+    The reference loops name-by-name over a pandas frame (O(names) scans);
+    here each summary is one hash aggregation — two shuffles total on the
+    name key, census-shaped at any corpus size.
+    """
+    per_name = df.groupBy(name_col).agg(
+        F.countDistinct(cluster_col).alias("n_clusters")
+    )
+    cluster_count_weights = (
+        per_name.groupBy("n_clusters")
+        .agg(F.count("*").cast("long").alias("n_names"))
+    )
+    per_cluster = df.groupBy(name_col, cluster_col).agg(
+        F.count(id_col).cast("long").alias("n_articles")
+    )
+    weights_for_cluster_sizes = (
+        per_cluster.join(per_name, name_col)
+        .groupBy("n_clusters", "n_articles")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return per_name, cluster_count_weights, weights_for_cluster_sizes

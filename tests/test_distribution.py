@@ -90,3 +90,49 @@ def test_calculate_improvements_all_keyword():
     frame = pd.DataFrame({"f1": [1.0, 0.5]}, index=["a", "b"])
     out = calculate_improvements(frame, ["all"])
     assert len(out) == 4
+
+
+def test_threshold_search_reference_sequence():
+    # golden replay of the reference recursion (features/nn/helpers.py:48-142)
+    from entity_resolution_spark.qa.distribution import threshold_search
+
+    tx, ty = threshold_search(lambda t: (t - 0.3) ** 2)
+    assert tx == [1.0, 0.0, 0.5, 0.25, 0.375, 0.3125, 0.28125]
+    assert [round(y, 6) for y in ty] == [
+        0.49, 0.09, 0.04, 0.0025, 0.005625, 0.000156, 0.000352,
+    ]
+    # hop_num + 2 evaluations, best probe near the optimum
+    assert len(tx) == 5 + 2
+    assert abs(tx[ty.index(min(ty))] - 0.3) < 0.05
+
+    tx2, _ = threshold_search(lambda t: abs(t - 0.8), hop_num=4)
+    assert tx2 == [1.0, 0.0, 0.5, 0.75, 0.875, 0.8125]
+    # no state leaks between calls (the reference's mutable-default bug)
+    tx3, _ = threshold_search(lambda t: abs(t - 0.8), hop_num=4)
+    assert tx3 == tx2
+
+
+def test_cluster_distribution_summary_reference_semantics(spark):
+    # hand-computed DataframeDistributionSummariser attributes
+    # (utils/distributions.py:56-130): name A has 2 clusters (sizes 2, 1),
+    # name B has 1 cluster (size 3), name C has 2 clusters (sizes 1, 1)
+    from entity_resolution_spark.qa.distribution import cluster_distribution_summary
+
+    df = spark.createDataFrame(
+        [
+            ("A", "a1", "u1"), ("A", "a1", "u2"), ("A", "a2", "u3"),
+            ("B", "b1", "u4"), ("B", "b1", "u5"), ("B", "b1", "u6"),
+            ("C", "c1", "u7"), ("C", "c2", "u8"),
+        ],
+        ["blocking_key", "cluster_id", "unique_id"],
+    )
+    per_name, weights, per_size = cluster_distribution_summary(df)
+    assert {r["blocking_key"]: r["n_clusters"] for r in per_name.collect()} == {
+        "A": 2, "B": 1, "C": 2,
+    }
+    assert {r["n_clusters"]: r["n_names"] for r in weights.collect()} == {2: 2, 1: 1}
+    got = {
+        (r["n_clusters"], r["n_articles"]): r["weight"] for r in per_size.collect()
+    }
+    # names with 2 clusters contribute clusters of sizes {2,1} (A) and {1,1} (C)
+    assert got == {(2, 2): 1, (2, 1): 3, (1, 3): 1}
