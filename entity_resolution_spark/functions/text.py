@@ -198,3 +198,62 @@ def replace_entity_name(
         return F.regexp_replace(acc, pat, repl)
 
     return F.aggregate(toks, text, _step)
+
+
+def sentences(col: Column | str) -> Column:
+    """Sentence segmentation: split on terminator runs followed by whitespace,
+    trimmed, empties dropped — the deterministic stand-in for the reference's
+    spaCy ``doc.sents`` (``features/profession.py:192-195``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c.cast("string"), F.lit(""))
+    return F.filter(
+        F.transform(F.split(c, r"[.!?]+\s+|[.!?]+$"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def check_words(sentences_col: Column, words: Column) -> Column:
+    """Sentences containing ANY of ``words`` — reference ``check_words``
+    (``features/profession.py:16-34``): case-SENSITIVE substring containment,
+    order preserved."""
+    return F.filter(
+        sentences_col,
+        lambda s: F.exists(
+            words, lambda w: (w != F.lit("")) & F.contains(s, w)
+        ),
+    )
+
+
+def profession_mentions(
+    text: Column | str,
+    entity_name: Column | str,
+    occupations: list[str] | Column,
+) -> Column:
+    """Occupation terms attributed to the entity — the parser-free analog of
+    ProfessionVisitor (``features/profession.py:135-206``).
+
+    Reference flow: sentence-split -> ``check_words`` keeps sentences with an
+    entity-name token (case-sensitive) -> spaCy noun chunks whose NSUBJ/APPOS
+    root co-occurs with an occupation term (case-insensitive). Without a
+    dependency parser the analog keeps the same sentence gate and emits the
+    occupation LEXICON TERMS found in the kept sentences (case-insensitive
+    substring, profession.py:107-131) as a sorted distinct set — the feature's
+    blocking/similarity role (shared occupation tokens) is preserved; the
+    chunk-text surface form is not.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    e = F.col(entity_name) if isinstance(entity_name, str) else entity_name
+    occ = (
+        F.array(*[F.lit(o) for o in occupations])
+        if isinstance(occupations, list)
+        else occupations
+    )
+    name_tokens = F.split(F.coalesce(e.cast("string"), F.lit("")), r"\s+")
+    imp = check_words(sentences(t), name_tokens)
+    found = F.filter(
+        occ,
+        lambda o: F.exists(
+            imp, lambda s: F.contains(F.lower(s), F.lower(o))
+        ),
+    )
+    return F.array_sort(F.array_distinct(found))

@@ -123,3 +123,48 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3] == {"doc_id": 3, "n_lines": 0, "dup_lines": 0, "dup_chars": 0,
                       "line_chars": 0, "top_bigram_chars": 0, "tok_chars": 0}
     assert got[4]["top_bigram_chars"] == 0 and got[4]["tok_chars"] == 6
+
+
+def test_profession_mentions_reference_flow(spark):
+    # ProfessionVisitor analog (ref features/profession.py:135-206): sentence
+    # gate is case-SENSITIVE on entity tokens (check_words, profession.py:33),
+    # occupation match is case-INSENSITIVE (profession.py:107-109)
+    from entity_resolution_spark.functions.text import (
+        check_words,
+        profession_mentions,
+        sentences,
+    )
+
+    occ = ["doctor", "lawyer", "teacher"]
+    df = spark.createDataFrame(
+        [
+            (1, "John was a Doctor. Mary was a lawyer. Smith became a teacher.",
+             "John Smith"),
+            # lowercase 'john' fails the case-sensitive entity gate
+            (2, "john was a doctor.", "John Smith"),
+            # entity sentence with no occupation -> nothing
+            (3, "John went home! The doctor stayed.", "John Smith"),
+            (4, None, "John Smith"),
+        ],
+        ["id", "text", "name"],
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", profession_mentions("text", "name", occ).alias("p")
+        ).collect()
+    }
+    assert got[1] == ["doctor", "teacher"]  # 'lawyer' sentence lacks the entity
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == []
+
+    # check_words / sentences goldens
+    row = df.where("id = 1").select(
+        sentences("text").alias("s"),
+        check_words(sentences("text"), F.split(F.lit("John Smith"), " ")).alias("k"),
+    ).collect()[0]
+    assert row["s"] == [
+        "John was a Doctor", "Mary was a lawyer", "Smith became a teacher",
+    ]
+    assert row["k"] == ["John was a Doctor", "Smith became a teacher"]
