@@ -33,7 +33,10 @@ RAW_ENTITY_SCHEMA = (
     "data struct<"
     "names: array<struct<name: string, name_type: string>>, "
     "births: array<struct<min_date: string, max_date: string>>, "
-    "locations: array<struct<country_code: string, original_name: string>>, "
+    "locations: array<struct<country_code: string, original_name: string, "
+    "original_address: string, value: string, name: string, country: string>>, "
+    "addresses: array<struct<original_address: string, value: string, "
+    "name: string, country: string>>, "
     "nationalities: array<struct<country_code: string>>, "
     "aml_types: array<struct<aml_type: string>>, "
     "display_fields: array<struct<title: string, value: string>>"
@@ -535,3 +538,162 @@ def org_sanction_features(df: DataFrame, json_col: str = "raw_entity") -> DataFr
     out = org_identifier_features(out)
     out = org_alias_features(out)
     return out.drop("ent")
+
+
+# --- AddressVisitor (organisation_visitors.py:130-277) ----------------------
+
+# the reference's address-token stopword set (organisation_visitors.py:134-183)
+ADDRESS_STOPWORDS = [
+    "city", "country", "street", "road", "avenue", "town", "junction",
+    "alley", "business", "village", "box", "mailbox", "post", "square",
+    "floor", "building", "former", "center", "centre", "central", "park",
+    "branch", "house", "area", "apartment", "flat", "lane", "coast",
+    "suite", "region", "district", "company", "registration", "federation",
+    "republic", "kingdom", "democratic", "highway", "room", "office",
+    "block", "number", "industrial", "united", "island", "islands",
+    "isles", "code",
+]
+
+_ADDR_STRUCT = (
+    "array<struct<original_address:string,value:string,name:string,"
+    "country:string>>"
+)
+
+
+def _address_structs(ent: Column) -> Column:
+    """All address jsons: ``addresses`` + ``locations`` arrays plus display
+    fields titled 'address' (``_get_address_jsons``,
+    organisation_visitors.py:202-217)."""
+    addrs = F.coalesce(ent["data"]["addresses"], F.array().cast(_ADDR_STRUCT))
+    locs = F.transform(
+        F.coalesce(
+            ent["data"]["locations"],
+            F.array().cast(
+                "array<struct<country_code:string,original_name:string,"
+                "original_address:string,value:string,name:string,"
+                "country:string>>"
+            ),
+        ),
+        lambda l: F.struct(
+            l["original_address"].alias("original_address"),
+            l["value"].alias("value"),
+            l["name"].alias("name"),
+            l["country"].alias("country"),
+        ),
+    )
+    dfs = F.transform(
+        F.filter(
+            F.coalesce(
+                ent["data"]["display_fields"],
+                F.array().cast("array<struct<title:string,value:string>>"),
+            ),
+            lambda r: F.lower(r["title"]) == F.lit("address"),
+        ),
+        lambda r: F.struct(
+            F.lit(None).cast("string").alias("original_address"),
+            r["value"].alias("value"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("country"),
+        ),
+    )
+    return F.concat(addrs, locs, dfs)
+
+
+def _address_texts(structs: Column) -> Column:
+    """Distinct non-null original_address/value/name strings
+    (``_get_address_text``, organisation_visitors.py:190-200). Translation
+    (organisation_visitors.py:230-242) is identity here: ASCII addresses pass
+    through untranslated in the reference too, and the translator is an
+    external service — non-ASCII text is kept as-is, documented divergence."""
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                structs,
+                lambda a: F.filter(
+                    F.array(a["original_address"], a["value"], a["name"]),
+                    lambda x: x.isNotNull(),
+                ),
+            )
+        )
+    )
+
+
+def address_token_features(df: DataFrame, json_col: str = "raw_entity") -> DataFrame:
+    """ADDRESS + ADDRESS_TOKENS (``visit_sanction``,
+    organisation_visitors.py:261-277): split on the org punctuation pattern,
+    keep numeric tokens or tokens longer than 3 chars, lowercase, drop the
+    address stopwords; both outputs sorted distinct arrays (reference sets).
+    Pure Column expressions — codegen'd, no shuffle."""
+    out = parse_raw_entity(df, json_col)
+    texts = _address_texts(_address_structs(F.col("ent")))
+    toks = F.flatten(
+        F.transform(
+            texts,
+            lambda t: F.split(F.regexp_replace(t, _ORG_SPLIT, " "), " "),
+        )
+    )
+    toks = F.transform(
+        F.filter(
+            toks,
+            lambda t: t.rlike("^[0-9]+$") | (F.length(t) > 3),
+        ),
+        F.lower,
+    )
+    stop = F.array(*[F.lit(s) for s in ADDRESS_STOPWORDS])
+    toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    return out.withColumn(
+        "address_texts", F.array_sort(texts)
+    ).withColumn(
+        "address_tokens", F.array_sort(F.array_distinct(toks))
+    ).drop("ent")
+
+
+def address_country_features(
+    df: DataFrame,
+    geo_map: DataFrame,
+    id_col: str,
+    json_col: str = "raw_entity",
+) -> DataFrame:
+    """ADDRESS_COUNTRY (``_extract_countries``,
+    organisation_visitors.py:244-259): resolve each address json's ``country``
+    field AND every ``,``/``.``/``:``-separated segment of each address text
+    through the geo resolver; keep only resolutions. One broadcast hash join
+    against the geo mapping (see ``operators/geo.py``) — the corpus never
+    shuffles; only (id, segment) pairs move."""
+    parsed = parse_raw_entity(df, json_col)
+    structs = _address_structs(F.col("ent"))
+    texts = _address_texts(structs)
+    country_fields = F.transform(
+        F.filter(structs, lambda a: a["country"].isNotNull()),
+        lambda a: F.trim(a["country"]),
+    )
+    segments = F.flatten(
+        F.transform(
+            texts,
+            # NOT bare F.trim: its optional second parameter makes transform
+            # pass the element index as the trim character set
+            lambda t: F.transform(
+                F.split(F.regexp_replace(t, r"(,|\.|:)", ";"), ";"),
+                lambda s: F.trim(s),
+            ),
+        )
+    )
+    cands = parsed.select(
+        F.col(id_col).alias("_aid"),
+        F.explode_outer(
+            F.array_distinct(F.concat(country_fields, segments))
+        ).alias("_seg"),
+    )
+    hits = cands.join(
+        F.broadcast(geo_map.select(F.col("mention").alias("_lc"), "country")),
+        F.lower(F.col("_seg")) == F.col("_lc"),
+        "left",
+    )
+    agg = hits.groupBy("_aid").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list("country")
+            )
+        ).alias("address_country")
+    )
+    return df.join(agg, df[id_col] == agg["_aid"], "left").drop("_aid")

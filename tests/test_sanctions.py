@@ -329,3 +329,79 @@ def test_sanction_job_build_clusters_person_and_org(spark):
         for r in build_clusters(dfo, "organisation", ["org_alias_keyword", "org_ids"], 1).collect()
     }
     assert goto["o1"] == ("o1", 3) and goto["o2"] == ("o1", 3) and goto["o3"] == ("o1", 3)
+
+
+def test_address_visitor_tokens_and_texts(spark):
+    # AddressVisitor (organisation_visitors.py:130-277): texts pooled from
+    # addresses + locations + 'Address' display fields; tokens keep numerics
+    # or len>3, lowercase, minus the address stopword list
+    import json
+
+    from entity_resolution_spark.operators.sanctions import address_token_features
+
+    ent = {
+        "data": {
+            "addresses": [
+                {"original_address": "12 Baker Street, London", "country": "UK"},
+                {"value": "Unit 7, Hightown Business Park"},
+            ],
+            "locations": [{"name": "Floor 3 Westgate House", "country": "Germany"}],
+            "display_fields": [
+                {"title": "Address", "value": "Calle Mayor 99"},
+                {"title": "Program", "value": "dropme"},
+            ],
+        }
+    }
+    df = spark.createDataFrame([(1, json.dumps(ent))], ["id", "raw_entity"])
+    row = address_token_features(df).collect()[0]
+    assert row["address_texts"] == [
+        "12 Baker Street, London",
+        "Calle Mayor 99",
+        "Floor 3 Westgate House",
+        "Unit 7, Hightown Business Park",
+    ]
+    # '12'/'99'/'7'/'3' numeric kept; 'unit' len 4 kept; 'street'/'park'/
+    # 'business'/'house'/'floor' are stopwords; 'mayor' kept
+    assert row["address_tokens"] == [
+        "12", "3", "7", "99", "baker", "calle", "hightown", "london",
+        "mayor", "unit", "westgate",
+    ]
+
+
+def test_address_visitor_country_resolution(spark):
+    import json
+
+    from entity_resolution_spark.operators.geo import geo_mapping
+    from entity_resolution_spark.operators.sanctions import (
+        address_country_features,
+    )
+
+    countries = spark.createDataFrame(
+        [("United Kingdom", "GB"), ("Germany", "DE"), ("Spain", "ES")],
+        ["name", "code"],
+    )
+    aliases = spark.createDataFrame(
+        [("United Kingdom", ["UK"])], "name string, aliases array<string>"
+    )
+    geo = geo_mapping(countries, aliases)
+
+    e1 = {
+        "data": {
+            "addresses": [
+                # 'country' field resolves via alias; 'London' segment is a miss
+                {"original_address": "12 Baker Street, London", "country": "UK"},
+                # comma-split segment 'Germany' resolves
+                {"value": "Floor 3, Germany"},
+            ]
+        }
+    }
+    e2 = {"data": {"display_fields": [{"title": "Program", "value": "x"}]}}
+    df = spark.createDataFrame(
+        [(1, json.dumps(e1)), (2, json.dumps(e2))], ["id", "raw_entity"]
+    )
+    got = {
+        r["id"]: r["address_country"]
+        for r in address_country_features(df, geo, id_col="id").collect()
+    }
+    assert got[1] == ["germany", "united kingdom"]
+    assert got[2] == []
