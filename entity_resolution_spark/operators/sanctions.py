@@ -37,6 +37,7 @@ RAW_ENTITY_SCHEMA = (
     "original_address: string, value: string, name: string, country: string>>, "
     "addresses: array<struct<original_address: string, value: string, "
     "name: string, country: string>>, "
+    "passports: array<struct<passport: string>>, "
     "nationalities: array<struct<country_code: string>>, "
     "aml_types: array<struct<aml_type: string>>, "
     "display_fields: array<struct<title: string, value: string>>"
@@ -697,3 +698,50 @@ def address_country_features(
         ).alias("address_country")
     )
     return df.join(agg, df[id_col] == agg["_aid"], "left").drop("_aid")
+
+
+# --- SanctionPassportVisitor (common.py:531-589) -----------------------------
+
+def passport_features(df: DataFrame, json_col: str = "raw_entity") -> DataFrame:
+    """PASSPORT_RAW + PASSPORT_ID (``SanctionPassportVisitor``,
+    common.py:531-589).
+
+    Per passport string the id key is: split on ``;,-/()``, keep whitespace
+    tokens that are alphanumeric, longer than 4 chars AND contain a digit,
+    sort them CASE-SENSITIVELY (the reference sorts before lowering), join
+    with ``+``, lowercase (``_extract_pid``, common.py:553-563). Empty keys
+    are dropped; the id set ships sorted distinct. The visitor's spaCy NER
+    side-channel (PASSPORT_DATES/GPE/NORPS, common.py:582-588) needs an NER
+    model and is out of scope by design — the deterministic id key is the
+    blocking feature.
+    """
+    out = parse_raw_entity(df, json_col)
+    passports = F.coalesce(
+        F.col("ent")["data"]["passports"],
+        F.array().cast("array<struct<passport:string>>"),
+    )
+    raw = F.transform(passports, lambda p: p["passport"])
+
+    def pid(p: Column) -> Column:
+        toks = F.filter(
+            F.split(F.regexp_replace(p, r"[;,\-/()]", " "), r"\s+"),
+            lambda t: t.rlike("^[a-zA-Z0-9]+$")
+            & (F.length(t) > 4)
+            & t.rlike("[0-9]"),
+        )
+        return F.lower(F.concat_ws("+", F.array_sort(toks)))
+
+    ids = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(F.filter(raw, lambda p: p.isNotNull()), pid),
+                lambda k: k != F.lit(""),
+            )
+        )
+    )
+    has = F.col("ent")["data"]["passports"].isNotNull()
+    return out.select(
+        "*",
+        F.when(has, raw).alias("passport_raw"),
+        F.when(has, ids).alias("passport_id"),
+    ).drop("ent")

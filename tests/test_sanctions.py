@@ -405,3 +405,38 @@ def test_address_visitor_country_resolution(spark):
     }
     assert got[1] == ["germany", "united kingdom"]
     assert got[2] == []
+
+
+def test_passport_features_pid_rule(spark):
+    # _extract_pid (common.py:553-563): split on ;,-/() -> alnum tokens with
+    # len>4 and a digit -> case-sensitive sort -> '+' join -> lower
+    import json
+
+    from entity_resolution_spark.operators.sanctions import passport_features
+
+    e1 = {
+        "data": {
+            "passports": [
+                # 'Zz12345' sorts before 'ab999x' case-sensitively (Z < a)
+                {"passport": "ab999x/Zz12345; exp. 2030"},
+                # 'no1' too short, 'passport' no digit, '12-345' split apart
+                {"passport": "no1 passport 12-345"},
+                {"passport": "B7777777 (diplomatic)"},
+            ]
+        }
+    }
+    e2 = {"data": {}}
+    df = spark.createDataFrame(
+        [(1, json.dumps(e1)), (2, json.dumps(e2))], ["id", "raw_entity"]
+    )
+    got = {
+        r["id"]: (r["passport_raw"], r["passport_id"])
+        for r in passport_features(df).collect()
+    }
+    assert got[1][0] == [
+        "ab999x/Zz12345; exp. 2030",
+        "no1 passport 12-345",
+        "B7777777 (diplomatic)",
+    ]
+    assert got[1][1] == ["b7777777", "zz12345+ab999x"]
+    assert got[2] == (None, None)
