@@ -67,6 +67,7 @@ HEADLINE = [
     "repeated_substrings_docs",
     "dedup_survivors_docs",
     "source_overlap_docs",
+    "geo_resolve_docs",
 ]
 
 
