@@ -81,6 +81,11 @@ def main() -> int:
 
     corpus_dir = f"/tmp/scaling_corpus_{args.entities}"
     if not os.path.exists(corpus_dir):
+        # generate+write of the 703k-file corpus OOMs the 8g default heap at
+        # local[32]; the job samples below run in their own subprocesses and
+        # keep the session default
+        if "SPARK_DRIVER_MEMORY" not in os.environ:
+            os.environ["SPARK_DRIVER_MEMORY"] = "32g"
         spark = get_spark("gen", master="local[32]")
         df_files, _, _ = corpus_dataframes(
             spark, SynthConfig(seed=42, n_entities=args.entities)
