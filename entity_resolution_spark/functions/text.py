@@ -257,3 +257,84 @@ def profession_mentions(
         ),
     )
     return F.array_sort(F.array_distinct(found))
+
+
+def clean_html_tags(col: Column | str) -> Column:
+    """Strip HTML tags — reference ``TextCleaner.clean_html_tag``
+    (``features/common.py:302-333``): ``re.sub("<.*?>", "", text)``. The
+    non-greedy ``<.*?>`` (dot excludes newlines in both Python and Java
+    regex) is reproduced verbatim, so an unclosed ``<<<<<<`` prefix survives
+    exactly as in the reference goldens. One codegen'd ``regexp_replace``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "<.*?>", "")
+
+
+def remove_self_reference(values: Column | str, entity_name: Column | str) -> Column:
+    """Drop extracted feature values that mention the entity itself —
+    reference ``remove_self_reference`` (``features/common.py:238-279``):
+    a value is dropped when ANY whitespace token of the lowered entity name
+    matches it as a whole word (``\\btoken\\b``, case-insensitive; only
+    ``.`` is escaped, as in the reference). Middle-initial tokens —
+    exactly two chars ending in ``.`` like ``S.`` — are skipped, so
+    "Fred S. Johnson" never kills "Marble S. Arch". Keeping those mentions
+    dramatically over-combines (the value is really the entity, not an
+    independent feature), hence the filter.
+
+    Pure Column HOFs: ``filter`` × ``exists`` × ``regexp_like`` over a
+    handful of name tokens — JVM-side, no Python in the row path. (Java
+    ``\\b`` is ASCII-word-based vs Python's unicode ``\\b`` — identical on
+    the reference's ASCII goldens.)
+    """
+    vals = F.col(values) if isinstance(values, str) else values
+    name = F.col(entity_name) if isinstance(entity_name, str) else entity_name
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(name.cast("string"), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    toks = F.filter(toks, lambda t: ~((F.length(t) == 2) & t.endswith(".")))
+
+    def _pat(t: Column) -> Column:
+        return F.concat(
+            F.lit(r"(?i)\b"),
+            F.replace(t, F.lit("."), F.lit(r"\.")),
+            F.lit(r"\b"),
+        )
+
+    return F.filter(
+        vals, lambda v: ~F.exists(toks, lambda t: F.regexp_like(v, _pat(t)))
+    )
+
+
+def remove_entity_name_tokens(
+    text: Column | str, person_names: Column | str, entity_name: Column | str
+) -> Column:
+    """Blank out every name token from the text — reference
+    ``EntityNameRemoverVisitor`` (``features/common.py:198-236``): when the
+    PERSON set is empty the text is untouched; otherwise the whitespace
+    tokens of all PERSON names plus the entity name are deduplicated,
+    sorted (the reference fixes removal order because overlapping
+    substrings make the result order-dependent), and each is removed as a
+    plain case-sensitive substring. ``F.aggregate`` reproduces the
+    sequential fold; ``F.replace`` is literal (not regex), matching
+    ``str.replace``. JVM-side throughout.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    persons = F.col(person_names) if isinstance(person_names, str) else person_names
+    name = F.col(entity_name) if isinstance(entity_name, str) else entity_name
+    all_names = F.concat(persons, F.array(name.cast("string")))
+    bits = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    all_names,
+                    lambda n: F.filter(
+                        F.split(F.coalesce(n, F.lit("")), r"\s+"),
+                        lambda b: b != F.lit(""),
+                    ),
+                )
+            )
+        )
+    )
+    folded = F.aggregate(bits, t, lambda acc, b: F.replace(acc, b, F.lit("")))
+    return F.when(F.coalesce(F.size(persons), F.lit(0)) == 0, t).otherwise(folded)

@@ -168,3 +168,73 @@ def test_profession_mentions_reference_flow(spark):
         "John was a Doctor", "Mary was a lawyer", "Smith became a teacher",
     ]
     assert row["k"] == ["John was a Doctor", "Smith became a teacher"]
+
+
+def test_clean_html_tags_reference_goldens(spark):
+    # reference test/features/test_common.py:54-74 (TestTextCleaner)
+    cases = [
+        ("<html>Hello world</html>", "Hello world"),
+        ("<html></html>", ""),
+        ("<html><br><br>Hello world</html>", "Hello world"),
+        ("Hello world</html>", "Hello world"),
+        ("Hello world", "Hello world"),
+        ("<<<<<<Hello world", "<<<<<<Hello world"),
+    ]
+    for raw, want in cases:
+        assert one(spark, raw, TX.clean_html_tags(F.col("t"))) == want
+
+
+def test_remove_self_reference_reference_goldens(spark):
+    # reference test/features/test_common.py:18-42 (TestRemoveSelfReference);
+    # sets become sorted arrays here, so compare as sorted sets
+    cases = [
+        (["John Smith", "Marble Arch"], "John", {"Marble Arch"}),
+        (["John Smith", "Marble Arch"], "John Marble", set()),
+        (["John Smith", "Marble Arch"], "Tim", {"John Smith", "Marble Arch"}),
+        (["John Smith", "Marble Arch"], "Ar", {"John Smith", "Marble Arch"}),
+        (["John Smith", "Marble Arch"], "MIT", {"John Smith", "Marble Arch"}),
+        (["John Smith", "Marble Arch"], "Fred S. Johnson", {"John Smith", "Marble Arch"}),
+        (["John Smith", "Marble S. Arch"], "Fred S. Johnson", {"John Smith", "Marble S. Arch"}),
+        (["John Smith", "Marble Leed Arch"], "Lee.", {"John Smith", "Marble Leed Arch"}),
+        (["Joe Doe", "joe", "joe meme"], "joe", set()),
+        (["Manhattan", "Apalachi"], "a", {"Manhattan", "Apalachi"}),
+    ]
+    df = spark.createDataFrame(
+        [(vals, name) for vals, name, _ in cases],
+        "vals array<string>, name string",
+    )
+    out = df.select(TX.remove_self_reference("vals", "name").alias("kept")).collect()
+    for (vals, name, want), row in zip(cases, out):
+        assert set(row["kept"]) == want, (vals, name)
+
+
+def test_remove_entity_name_tokens_reference_goldens(spark):
+    # reference test/test_entity_name_remover.py:5-28 — PERSON arrays supplied
+    # explicitly (the reference derives them via spaCy NER)
+    df = spark.createDataFrame(
+        [
+            (
+                "John Smith was a news anchor and a psychotherapist",
+                ["John Smith"],
+                "John Smith",
+            ),
+            (
+                "John Smith was a news anchor and a psychotherapist, "
+                "just like his father, Robert Peterson",
+                ["John Smith", "Robert Peterson"],
+                "John Smith",
+            ),
+            ("No names here", [], "John Smith"),
+        ],
+        "t string, persons array<string>, name string",
+    )
+    got = [
+        r["o"]
+        for r in df.select(
+            TX.remove_entity_name_tokens("t", "persons", "name").alias("o")
+        ).collect()
+    ]
+    assert got[0] == "  was a news anchor and a psychotherapist"
+    assert got[1] == "  was a news anchor and a psychotherapist, just like his father,  "
+    # empty PERSON set → text untouched (common.py:220-221 early return)
+    assert got[2] == "No names here"
