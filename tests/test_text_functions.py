@@ -238,3 +238,41 @@ def test_remove_entity_name_tokens_reference_goldens(spark):
     assert got[1] == "  was a news anchor and a psychotherapist, just like his father,  "
     # empty PERSON set → text untouched (common.py:220-221 early return)
     assert got[2] == "No names here"
+
+
+def test_snippet_distance_hand_goldens(spark):
+    # reference ab_utils.py:97-123 — mean of 7 normalized similarities.
+    # Each term of the kitten/sitting case hand-traced:
+    # hamming 4/7, damerau-lev 1-3/7, jaro 0.746031746, smith-waterman 3/6,
+    # multiset-jaccard 4/9, bag 1-3/7, lcsstr 3/6.
+    from entity_resolution_spark.functions.strings import (
+        snippet_distance_py,
+        snippet_distance_udf,
+        _damerau_levenshtein,
+        _smith_waterman,
+        _lcs_substring_len,
+    )
+
+    assert snippet_distance_py("same", "same") == 1.0
+    assert snippet_distance_py("abc", "") == 0.0
+    assert snippet_distance_py("", "") == 1.0
+    # ab/ba: hamming 0, DL (one transposition) 0.5, jaro 0 (window 0),
+    # SW 0.5, jaccard 1, bag 1, lcsstr 0.5 → mean 3.5/7
+    assert abs(snippet_distance_py("ab", "ba") - 0.5) < 1e-12
+    want = (4 / 7 + 4 / 7 + 0.746031746031746 + 0.5 + 4 / 9 + 4 / 7 + 0.5) / 7
+    assert abs(snippet_distance_py("kitten", "sitting") - want) < 1e-12
+    # unrestricted DL: ca→abc is 2 (transpose + insert); restricted OSA says 3
+    assert _damerau_levenshtein(b"ca", b"abc") == 2
+    assert _smith_waterman(b"kitten", b"sitting") == 3
+    assert _lcs_substring_len(b"kitten", b"sitting") == 3
+
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("ab", "ba"), (None, "x")], "a string, b string"
+    )
+    got = [
+        r["d"]
+        for r in df.select(snippet_distance_udf("a", "b").alias("d")).collect()
+    ]
+    assert abs(got[0] - want) < 1e-12
+    assert abs(got[1] - 0.5) < 1e-12
+    assert got[2] == 0.0  # NULL → "" like the reference's defensive encode
