@@ -1821,6 +1821,57 @@ FROM res GROUP BY doc_id
 """
 
 
+def q_bigram_phrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gensim-Phrases collocation statistics over the documents table
+    (``operators/topics.fit_bigram_phrases`` — reference ``get_ngram_model``,
+    ``utils/topic_model_helpers.py:50-60``): unigram + adjacent-bigram census,
+    vocab length, and the integer-exact original-scorer qualification at the
+    reference defaults (min_count=5, threshold=100). All hashed columns are
+    integers."""
+    from entity_resolution_spark.operators.topics import (
+        fit_bigram_phrases,
+        simple_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        simple_tokens("text").alias("tk")
+    )
+    return fit_bigram_phrases(d, "tk", min_count=5, threshold=100.0)
+
+
+SQL_BIGRAM_PHRASES_DOCS = r"""
+WITH tk AS (
+  SELECT list_filter(regexp_extract_all(lower(text), '[a-z_]+'),
+                     t -> length(t) BETWEEN 2 AND 15) AS tk
+  FROM documents
+), tk2 AS (
+  SELECT tk FROM tk WHERE len(tk) > 0
+), uni AS (
+  SELECT u.w AS w, COUNT(*) AS c FROM tk2, UNNEST(tk2.tk) AS u(w) GROUP BY 1
+), pb AS (
+  SELECT list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]]) AS pl
+  FROM tk2 WHERE len(tk) >= 2
+), big AS (
+  SELECT u.p[1] AS word_a, u.p[2] AS word_b, COUNT(*) AS cnt_ab
+  FROM pb, UNNEST(pb.pl) AS u(p) GROUP BY 1, 2
+), v AS (
+  SELECT (SELECT COUNT(*) FROM uni) + (SELECT COUNT(*) FROM big) AS vocab_len
+)
+SELECT b.word_a, b.word_b,
+       CAST(ua.c AS BIGINT)        AS cnt_a,
+       CAST(ub.c AS BIGINT)        AS cnt_b,
+       CAST(b.cnt_ab AS BIGINT)    AS cnt_ab,
+       CAST(v.vocab_len AS BIGINT) AS vocab_len,
+       CAST((b.cnt_ab - 5) * v.vocab_len > 100 * ua.c * ub.c AS BIGINT)
+         AS qualifies
+FROM big b
+JOIN uni ua ON b.word_a = ua.w
+JOIN uni ub ON b.word_b = ub.w
+CROSS JOIN v
+WHERE b.cnt_ab >= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1869,6 +1920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors_docs": q_dedup_survivors_docs,
     "source_overlap_docs": q_source_overlap_docs,
     "geo_resolve_docs": q_geo_resolve_docs,
+    "bigram_phrases_docs": q_bigram_phrases_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1907,6 +1959,7 @@ ORACLES: dict[str, str] = {
     "dedup_survivors_docs": SQL_DEDUP_SURVIVORS_DOCS,
     "source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS,
     "geo_resolve_docs": SQL_GEO_RESOLVE_DOCS,
+    "bigram_phrases_docs": SQL_BIGRAM_PHRASES_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).

@@ -65,3 +65,79 @@ def test_concat_distribution(spark):
     df = spark.createDataFrame([([0.5, 0.5], [0.9, 0.1])], ["tfidf", "dist"])
     row = df.select(concat_distribution("tfidf", "dist").alias("v")).first()
     assert row["v"] == [0.5, 0.5, 0.9, 0.1]
+
+
+def test_simple_tokens_gensim_semantics(spark):
+    from entity_resolution_spark.operators.topics import simple_tokens
+
+    df = spark.createDataFrame(
+        [("Hello, Wörld_1 ab c supercalifragilisticexpialidocious x9y",)],
+        "t string",
+    )
+    got = df.select(simple_tokens("t").alias("tk")).collect()[0]["tk"]
+    # "wörld_1" deaccents to world_, digit splits the run; 1-char "c"/"x"/"y"
+    # dropped; the 34-char token DROPPED (not truncated) — gensim's 2..15 rule
+    assert got == ["hello", "world_", "ab"]
+
+
+def test_remove_stopword_tokens_order_and_multiplicity(spark):
+    from entity_resolution_spark.operators.topics import remove_stopword_tokens
+
+    df = spark.createDataFrame(
+        [(["the", "quick", "from", "use", "fox", "quick", "shan't"],)],
+        "tk array<string>",
+    )
+    got = df.select(remove_stopword_tokens("tk").alias("o")).collect()[0]["o"]
+    # order preserved, duplicate "quick" preserved (array_except would dedup)
+    assert got == ["quick", "fox", "quick"]
+
+
+def test_fit_bigram_phrases_hand_golden(spark):
+    from entity_resolution_spark.operators.topics import fit_bigram_phrases
+
+    docs = spark.createDataFrame(
+        [
+            (["new", "york", "is", "big"],),
+            (["new", "york", "city"],),
+            (["in", "new", "york", "new", "york"],),
+            (["big", "city"],),
+            (["new", "york"],),
+        ],
+        "tk array<string>",
+    )
+    # unigrams: new 5, york 5, is 1, big 2, city 2, in 1 → 6 distinct
+    # adjacent bigrams: (new,york) ×5 plus 6 singletons → 7 distinct
+    # vocab_len = 13; score(new,york) = (5-2)·13/(5·5) = 1.56
+    rows = fit_bigram_phrases(docs, "tk", min_count=2, threshold=1.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["word_a"], r["word_b"]) == ("new", "york")
+    assert (r["cnt_a"], r["cnt_b"], r["cnt_ab"], r["vocab_len"]) == (5, 5, 5, 13)
+    assert r["qualifies"] == 1  # 1.56 > 1.5
+    rows2 = fit_bigram_phrases(docs, "tk", min_count=2, threshold=2.0).collect()
+    assert rows2[0]["qualifies"] == 0  # 1.56 < 2.0
+
+
+def test_apply_bigram_phrases_greedy(spark):
+    from entity_resolution_spark.operators.topics import apply_bigram_phrases
+
+    df = spark.createDataFrame(
+        [
+            (["in", "new", "york", "new", "york"],),
+            (["a", "a", "a"],),
+            (["no", "phrases", "here"],),
+            ([],),
+        ],
+        "tk array<string>",
+    )
+    out = [
+        r["o"]
+        for r in df.select(
+            apply_bigram_phrases("tk", [("new", "york"), ("a", "a")]).alias("o")
+        ).collect()
+    ]
+    assert out[0] == ["in", "new_york", "new_york"]
+    # greedy non-overlap: gensim pairs 0-1 then leaves the third alone
+    assert out[1] == ["a_a", "a"]
+    assert out[2] == ["no", "phrases", "here"]
+    assert out[3] == []
