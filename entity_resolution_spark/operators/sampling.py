@@ -68,3 +68,40 @@ def token_budget_sample(
             (F.col("cum_tokens") - F.col(n_tokens_col)) < budget_tokens,
         )
     )
+
+
+def name_letter_quotas(
+    names: DataFrame, name_col: str = "name", sample_size: int = 1000
+) -> DataFrame:
+    """First-letter stratified sample-size planner — reference
+    ``summarise_name_distribution`` (``data/data_loaders/
+    fake_data_collection_es.py:17-52``): group names by lowered first
+    letter, compute each stratum's share of the corpus and its quota
+    ``round(prob · sample_size)``. The reference uses Python ``round`` —
+    banker's (half-to-even) rounding — so the Spark side is ``F.bround``,
+    not ``F.round`` (half-up): at 7.5/2.5 the two disagree.
+
+    Output sorted by ``first_letter`` (the reference sorts so strata can be
+    batch-indexed). One groupBy + a broadcast of the 1-row total — no
+    driver collect, scales with distinct letters (bounded)."""
+    letters = names.select(
+        F.lower(F.substring(F.col(name_col).cast("string"), 1, 1)).alias(
+            "first_letter"
+        )
+    )
+    counts = letters.groupBy("first_letter").agg(
+        F.count(F.lit(1)).alias("n_names")
+    )
+    total = counts.agg(F.sum("n_names").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "first_letter",
+            "n_names",
+            (F.col("n_names") / F.col("_total")).alias("prob"),
+            F.bround(F.col("n_names") / F.col("_total") * sample_size)
+            .cast("bigint")
+            .alias("new_sample"),
+        )
+        .orderBy("first_letter")
+    )

@@ -110,3 +110,17 @@ def test_token_budget_sample_large_ids_no_overflow(spark):
     }
     for i in ids:
         assert got[i] == (i * 2654435761) % (1 << 32)
+
+
+def test_name_letter_quotas_bankers_rounding(spark):
+    # reference summarise_name_distribution uses Python round (half-to-even):
+    # a: 3/4 · 10 = 7.5 → 8, b: 1/4 · 10 = 2.5 → 2 (F.round would say 3)
+    from entity_resolution_spark.operators.sampling import name_letter_quotas
+
+    df = spark.createDataFrame(
+        [("Alice",), ("adam",), ("Arthur",), ("bob",)], "name string"
+    )
+    rows = name_letter_quotas(df, sample_size=10).collect()
+    got = {r["first_letter"]: (r["n_names"], r["new_sample"]) for r in rows}
+    assert got == {"a": (3, 8), "b": (1, 2)}
+    assert [r["first_letter"] for r in rows] == ["a", "b"]  # sorted strata
