@@ -33,17 +33,27 @@ from entity_resolution_spark.functions.text import ws_tokens
 
 def ngram_windows(text: Column, n: int) -> Column:
     """Row-local token n-gram WINDOWS of ``text`` in position order (one
-    element per window start, duplicates preserved; codegen'd, no UDF)."""
-    toks = ws_tokens(text)
-    size = F.size(toks)
-    # sequence(1, 0) would generate a DESCENDING range — guard short docs
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    element per window start, duplicates preserved; codegen'd, no UDF).
+
+    The tokenization is LET-BOUND via a single-element ``transform`` before
+    the window slide: HOF lambdas re-evaluate embedded child expressions per
+    element, so referencing ``ws_tokens(text)`` directly inside the window
+    lambda re-runs the full regexp split once per window — O(T²) per doc
+    (measured 6s → 0.4s on the sf0.1 window census when bound).
+    """
+
+    def _windows(tk: Column) -> Column:
+        size = F.size(tk)
+        # sequence(1, 0) would generate a DESCENDING range — guard short docs
+        return F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), size - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(ws_tokens(text)), _windows), 0)
 
 
 def ngram_array(text: Column, n: int) -> Column:

@@ -101,21 +101,37 @@ def source_overlap_matrix(
     Output: (source_a, source_b, shared_windows bigint), source_a < source_b,
     only pairs with ≥ 1 shared window (integer-only, oracle-hash safe).
 
-    Scale shape: the working set is the DISTINCT (slice, window) census — one
-    aggregation exchange on the window — and the self-join fans out per window
-    by the number of slices carrying it, bounded by the (small) slice count,
-    never by document count; a boilerplate window shared by every slice costs
-    |slices|² rows, not |docs|². The pair count then combines map-side.
+    Scale shape: ONE aggregation exchange on the window — ``collect_set``
+    gathers each window's slice set (map-side partial, so the dominant
+    single-slice windows collapse before the shuffle) — then the pair
+    expansion happens inside the row, bounded by the (small) slice count,
+    never by document count; a boilerplate window shared by every slice
+    costs |slices|² pair rows, not |docs|². The former shape (distinct +
+    self-join on the window string) shuffled the long window strings three
+    times; this shuffles them once.
     """
     d = docs.select(
         F.col(group_col).alias("_g"), ngram_windows(F.col(text_col), n).alias("_ws")
     )
-    gw = d.select("_g", F.explode("_ws").alias("_w")).distinct()
-    a = gw.select(F.col("_g").alias("source_a"), "_w")
-    b = gw.select(F.col("_g").alias("source_b"), "_w")
+    wsets = (
+        d.select("_g", F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.array_sort(F.collect_set("_g")).alias("_gs"))
+        .where(F.size("_gs") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_gs") - 1),
+            lambda i: F.transform(
+                F.slice("_gs", i + 1, F.size("_gs") - i),
+                lambda g: F.struct(
+                    F.get("_gs", i - 1).alias("source_a"), g.alias("source_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "_w")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("bigint").alias("shared_windows"))
+        wsets.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.source_a").alias("source_a"), F.col("_p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_windows"))
     )
