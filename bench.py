@@ -68,6 +68,8 @@ HEADLINE = [
     "dedup_survivors_docs",
     "source_overlap_docs",
     "geo_resolve_docs",
+    "bigram_phrases_docs",
+    "pii_redact_docs",
 ]
 
 

@@ -14,7 +14,7 @@ a semi-join — one narrow shuffle-free pass over the records at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 

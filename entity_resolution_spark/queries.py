@@ -1872,6 +1872,83 @@ WHERE b.cnt_ab >= 5
 """
 
 
+def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census (``operators/pii.redact_pii`` — the C4 /
+    RefinedWeb §4.3 / BigCode scrubbing pass). The synthetic corpus carries
+    no PII, so the query first injects deterministic doc_id-derived PII
+    (email always; IPv4 when doc_id%3=0; phone %5; SSN %7; md5-hex secret
+    %4 — the SAME arithmetic on both engines), then redacts and counts.
+    Pure map-side projection, zero shuffles; integer audit counts so the
+    driver hash is engine-exact."""
+    from entity_resolution_spark.operators.pii import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" mail user"), did.cast("string"), F.lit("@example.com"),
+        _opt(did % 3 == 0, F.lit(" host 10."), (did % 256).cast("string"),
+             F.lit(".0."), (did % 100).cast("string")),
+        _opt(did % 5 == 0, F.lit(" call +1 555-"),
+             (did % 900 + 100).cast("string"), F.lit("-"),
+             (did % 9000 + 1000).cast("string")),
+        _opt(did % 7 == 0, F.lit(" ssn 123-45-"),
+             (did % 9000 + 1000).cast("string")),
+        _opt(did % 4 == 0, F.lit(" key "), F.md5(did.cast("string"))),
+    )
+    out = redact_pii(d.select("doc_id", aug.alias("text")))
+    counts = [
+        F.col(f"pii_{n}").cast("long").alias(f"pii_{n}")
+        for n in ("email", "ipv4", "phone", "ssn", "secret", "total")
+    ]
+    return out.select("doc_id", *counts, "redacted_text").orderBy("doc_id")
+
+
+SQL_PII_REDACT_DOCS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' mail user' || doc_id || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555-' || (doc_id % 900 + 100) || '-'
+                      || (doc_id % 9000 + 1000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ssn 123-45-' || (doc_id % 9000 + 1000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' key ' || md5(CAST(doc_id AS VARCHAR))
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS pii_email,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_ipv4,
+  CAST(len(regexp_extract_all(t, '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}\b')) AS BIGINT) AS pii_phone,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS pii_ssn,
+  CAST(len(regexp_extract_all(t, '\b[0-9a-f]{32,64}\b')) AS BIGINT) AS pii_secret,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+     + len(regexp_extract_all(t, '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}\b'))
+     + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+     + len(regexp_extract_all(t, '\b[0-9a-f]{32,64}\b')) AS BIGINT) AS pii_total,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '\b[0-9a-f]{32,64}\b', '<SECRET>', 'g') AS redacted_text
+FROM aug
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1921,6 +1998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_docs": q_source_overlap_docs,
     "geo_resolve_docs": q_geo_resolve_docs,
     "bigram_phrases_docs": q_bigram_phrases_docs,
+    "pii_redact_docs": q_pii_redact_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1960,6 +2038,7 @@ ORACLES: dict[str, str] = {
     "source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS,
     "geo_resolve_docs": SQL_GEO_RESOLVE_DOCS,
     "bigram_phrases_docs": SQL_BIGRAM_PHRASES_DOCS,
+    "pii_redact_docs": SQL_PII_REDACT_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
