@@ -70,6 +70,7 @@ HEADLINE = [
     "geo_resolve_docs",
     "bigram_phrases_docs",
     "pii_redact_docs",
+    "preprocess_docs",
 ]
 
 

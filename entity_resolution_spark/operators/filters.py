@@ -62,3 +62,52 @@ def limit_names(
         .select(blocking_col)
     )
     return records.join(F.broadcast(head), blocking_col, "left_semi")
+
+
+def preprocess_input_records(
+    records: DataFrame,
+    name_col: str = "blocking_field",
+    id_col: str = "unique_id",
+    text_col: str = "content",
+    meta_keys: tuple[str, ...] = (),
+    order_by: Column | str | None = None,
+) -> DataFrame:
+    """Input-frame preprocessing (reference ``utils/random_data.py:40-66``,
+    ``preprocess_input_dataframe`` + ``add_metadata_series``): project to the
+    (name, id, text) contract columns plus ``meta_keys``; pack the meta keys
+    into a ``meta`` struct; force the unique-id URL scheme to ``http`` (the
+    reference rewrites via urlparse so http/https duplicates collapse); drop
+    duplicate unique_ids keeping the FIRST; finally keep only records whose
+    entity name occurs verbatim inside the text.
+
+    Order contract: pandas "keep first" has file order; a distributed frame
+    does not, so first = smallest ``order_by`` (ingest line number,
+    timestamp, ...) when given, else smallest (name, text) — deterministic
+    under any partitioning. Step order matches the reference exactly:
+    dedupe BEFORE the name-containment filter (a surviving first row that
+    fails the filter is dropped even if a later duplicate would have passed).
+
+    Scale shape: scheme rewrite and containment are codegen'd projections;
+    the only exchange is the window on ``id_col`` (the dedupe key) — at
+    100 TB that is one hash shuffle on a high-cardinality key, no skew
+    (duplicate groups are tiny by construction).
+    """
+    norm_id = F.regexp_replace(
+        F.col(id_col), r"^[A-Za-z][A-Za-z0-9+.-]*://", "http://"
+    )
+    out = records.withColumn(id_col, norm_id)
+    order_cols = (
+        [order_by] if order_by is not None else [F.col(name_col), F.col(text_col)]
+    )
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = out.where(F.contains(F.col(text_col), F.col(name_col)))
+    cols = [name_col, id_col, text_col, *meta_keys]
+    out = out.select(*cols)
+    if meta_keys:
+        out = out.withColumn("meta", F.struct(*[F.col(k) for k in meta_keys]))
+    return out

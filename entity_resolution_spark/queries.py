@@ -1949,6 +1949,80 @@ FROM aug
 """
 
 
+def q_preprocess_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input preprocessing (``operators/filters.preprocess_input_records`` —
+    reference ``utils/random_data.py:40-66``): scheme-normalize the record
+    URL, dedupe on it keeping the first occurrence (by doc_id), then keep
+    only records whose entity name occurs in the text. Records are derived
+    deterministically from documents: name = first text token (or an
+    absent sentinel for doc_id%4=0 rows, exercising the containment drop),
+    unique_id = rotating https/ftp/http scheme over doc_id%400 (forcing
+    scheme-collapsed duplicates). Output is string/integer only."""
+    from entity_resolution_spark.operators.filters import (
+        preprocess_input_records,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = (
+        F.when(did % 3 == 0, F.lit("https"))
+        .when(did % 3 == 1, F.lit("ftp"))
+        .otherwise(F.lit("http"))
+    )
+    rec = d.select(
+        did.alias("doc_id"),
+        F.when(did % 4 == 0, F.lit("zz_absent_zz"))
+        .otherwise(F.regexp_extract(F.col("text"), "[^ ]+", 0))
+        .alias("blocking_field"),
+        F.concat(scheme, F.lit("://ex.com/"), (did % 400).cast("string"))
+        .alias("unique_id"),
+        F.col("text").alias("content"),
+        "lang",
+        "source",
+    )
+    out = preprocess_input_records(
+        rec,
+        meta_keys=("lang", "source"),
+        order_by=F.col("doc_id"),
+    )
+    return out.select(
+        "blocking_field",
+        "unique_id",
+        F.length("content").cast("long").alias("content_len"),
+        "lang",
+        "source",
+    ).orderBy("unique_id", "blocking_field")
+
+
+SQL_PREPROCESS_DOCS = r"""
+WITH rec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'zz_absent_zz'
+              ELSE regexp_extract(text, '[^ ]+') END AS blocking_field,
+         CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'ftp'
+              ELSE 'http' END || '://ex.com/' || (doc_id % 400) AS unique_id,
+         text AS content, lang, source
+  FROM documents
+), norm AS (
+  SELECT doc_id, blocking_field,
+         regexp_replace(unique_id, '^[A-Za-z][A-Za-z0-9+.-]*://', 'http://')
+           AS unique_id,
+         content, lang, source
+  FROM rec
+), first AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY unique_id ORDER BY doc_id)
+           AS rn
+    FROM norm
+  ) WHERE rn = 1
+)
+SELECT blocking_field, unique_id,
+       CAST(length(content) AS BIGINT) AS content_len, lang, source
+FROM first
+WHERE contains(content, blocking_field)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -1999,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_resolve_docs": q_geo_resolve_docs,
     "bigram_phrases_docs": q_bigram_phrases_docs,
     "pii_redact_docs": q_pii_redact_docs,
+    "preprocess_docs": q_preprocess_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2039,6 +2114,7 @@ ORACLES: dict[str, str] = {
     "geo_resolve_docs": SQL_GEO_RESOLVE_DOCS,
     "bigram_phrases_docs": SQL_BIGRAM_PHRASES_DOCS,
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
+    "preprocess_docs": SQL_PREPROCESS_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).

@@ -133,3 +133,40 @@ def test_name_filters_and_max_names(spark):
     assert {r["unique_id"] for r in byorder.collect()} == {"r1", "r2", "r4"}
     # no limit → unchanged
     assert limit_names(recs, None).count() == 5
+
+
+def test_preprocess_input_records_reference_semantics(spark):
+    """Reference random_data.py:40-66: scheme→http collapse, keep-first dedupe
+    BEFORE the name-containment filter, meta struct packing."""
+    from entity_resolution_spark.operators.filters import (
+        preprocess_input_records,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            # https/http duplicates collapse; first (ord) kept
+            ("Alice", "https://ex.com/1", "Alice was here", "en", 0),
+            ("Alice", "http://ex.com/1", "Alice again", "en", 1),
+            # first occurrence lacks the name -> dropped AFTER dedupe wins
+            # (the later duplicate that would pass is already gone)
+            ("Bob", "ftp://ex.com/2", "no name present", "de", 2),
+            ("Bob", "http://ex.com/2", "Bob is mentioned", "de", 3),
+            # scheme-less id passes through unchanged
+            ("Carol", "ex.com/3", "Carol text", "fr", 4),
+            # name absent, unique id -> containment drop
+            ("Dave", "http://ex.com/4", "someone else", "en", 5),
+        ],
+        "blocking_field string, unique_id string, content string, "
+        "lang string, ord long",
+    )
+    out = preprocess_input_records(
+        recs, meta_keys=("lang",), order_by="ord"
+    )
+    rows = {r["unique_id"]: r for r in out.collect()}
+    assert set(rows) == {"http://ex.com/1", "ex.com/3"}
+    assert rows["http://ex.com/1"]["content"] == "Alice was here"
+    assert rows["http://ex.com/1"]["meta"]["lang"] == "en"
+    assert rows["ex.com/3"]["blocking_field"] == "Carol"
+    assert set(out.columns) == {
+        "blocking_field", "unique_id", "content", "lang", "meta",
+    }
