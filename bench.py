@@ -71,6 +71,7 @@ HEADLINE = [
     "bigram_phrases_docs",
     "pii_redact_docs",
     "preprocess_docs",
+    "c4_clean_docs",
 ]
 
 

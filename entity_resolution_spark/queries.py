@@ -2023,6 +2023,71 @@ WHERE contains(content, blocking_field)
 """
 
 
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (``operators/cleaning.c4_clean`` — Raffel et
+    al. 2020 §2.2). Documents are single-line word soup, so the query first
+    synthesizes line structure deterministically on BOTH engines: a newline
+    plus terminal '.' after every 7th token (',' instead for doc_id%3=0 —
+    those pages lose every line to the punctuation rule), a 'lorem ipsum'
+    page poison for %11, a curly bracket for %13 and a javascript line for
+    %17. All audit outputs integer; clean_text NULL for dropped pages."""
+    from entity_resolution_spark.operators.cleaning import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rep = F.when(did % 3 == 0, F.lit("$1,\n")).otherwise(F.lit("$1.\n"))
+    lined = F.regexp_replace(F.col("text"), r"((?:[^ ]+ ){6}[^ ]+) ", rep)
+
+    def _opt(cond, lit):
+        return F.when(cond, F.lit(lit)).otherwise(F.lit(""))
+
+    aug = F.concat(
+        lined,
+        _opt(did % 11 == 0, " lorem ipsum"),
+        _opt(did % 13 == 0, " {x}"),
+        _opt(did % 17 == 0, "\nthis javascript line would pass otherwise."),
+    )
+    out = c4_clean(d.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "page_kept", "clean_text"
+    ).orderBy("doc_id")
+
+
+SQL_C4_CLEAN_DOCS = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:[^ ]+ ){6}[^ ]+) ',
+             '\1' || CASE WHEN doc_id % 3 = 0 THEN ',' ELSE '.' END
+                  || chr(10), 'g')
+         || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' {x}' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'this javascript line would pass otherwise.'
+                 ELSE '' END AS t
+  FROM documents
+), kept AS (
+  SELECT doc_id, t,
+         len(string_split(t, chr(10))) AS n_lines,
+         list_transform(
+           list_filter(string_split(t, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND len(regexp_split_to_array(trim(l), ' +')) >= 3
+                            AND NOT contains(lower(l), 'javascript')),
+           l -> trim(l)) AS kl
+  FROM lined
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept_lines,
+       CAST(len(kl) >= 5 AND NOT contains(t, '{')
+            AND NOT contains(lower(t), 'lorem ipsum') AS BIGINT) AS page_kept,
+       CASE WHEN len(kl) >= 5 AND NOT contains(t, '{')
+                 AND NOT contains(lower(t), 'lorem ipsum')
+            THEN array_to_string(kl, chr(10)) END AS clean_text
+FROM kept
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -2074,6 +2139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_phrases_docs": q_bigram_phrases_docs,
     "pii_redact_docs": q_pii_redact_docs,
     "preprocess_docs": q_preprocess_docs,
+    "c4_clean_docs": q_c4_clean_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2115,6 +2181,7 @@ ORACLES: dict[str, str] = {
     "bigram_phrases_docs": SQL_BIGRAM_PHRASES_DOCS,
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "preprocess_docs": SQL_PREPROCESS_DOCS,
+    "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
