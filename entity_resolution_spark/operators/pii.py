@@ -64,10 +64,14 @@ def redact_pii(
     red = F.col(text_col)
     for _, pat, tok in PII_RULES:
         red = F.regexp_replace(red, pat, tok)
-    out = df.withColumn(out_col, red)
+    # counts are built from the ORIGINAL column expression first, so
+    # out_col == text_col (in-place scrub) still audits the raw text
+    counts = []
     total = None
     for name, pat, _ in PII_RULES:
         c = F.regexp_count(F.col(text_col), F.lit(pat))
-        out = out.withColumn(f"{count_prefix}{name}", c)
+        counts.append((f"{count_prefix}{name}", c))
         total = c if total is None else total + c
-    return out.withColumn(f"{count_prefix}total", total)
+    counts.append((f"{count_prefix}total", total))
+    out = df.withColumns(dict(counts))
+    return out.withColumn(out_col, red)

@@ -1,7 +1,8 @@
 """spark-submit entry point for the training-data corpus-preparation pipeline:
-quality gates → exact + near dedup → benchmark decontamination → sequence
-chunking → per-source token-budget sampling, composed from the engine's
-operators into the standard pretraining prep flow.
+[optional C4 line/page cleaning] → quality gates → exact + near dedup →
+benchmark decontamination → per-source token-budget sampling → PII
+redaction → sequence chunking, composed from the engine's operators into
+the standard pretraining prep flow.
 
     python tools/package.py                       # builds dist/entity_resolution_spark.zip
     spark-submit --py-files dist/entity_resolution_spark.zip \
@@ -10,7 +11,14 @@ operators into the standard pretraining prep flow.
         --eval   <benchmark/eval documents parquet (same schema)> \
         --output <prepared chunks path> \
         [--chunk-tokens 512] [--overlap 64] [--budget-tokens 1000000] \
-        [--min-tokens 5] [--max-dup-char-pct 20] [--jaccard-threshold 0.8]
+        [--min-tokens 5] [--max-dup-char-pct 20] [--jaccard-threshold 0.8] \
+        [--c4]
+
+``--c4`` enables the C4 line/page rules as stage 0 (off by default: it
+assumes newline-structured prose; on a single-line corpus it would drop
+every page). PII redaction (always on, The-Stack ordering: last text
+transform before chunking) replaces the text with its scrubbed form — a
+stateless map-side projection, so it adds no shuffle to the funnel.
 
 Stage order is the cheap-filter-first rule: row-local quality gates prune
 before anything shuffles; dedup (one census shuffle + banded candidate join)
@@ -47,6 +55,9 @@ def main() -> int:
     # (Gopher §A1.1 "duplicate line character fraction", default threshold 0.20)
     ap.add_argument("--max-dup-char-pct", type=int, default=20)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 line/page rules first (needs "
+                         "newline-structured text)")
     args = ap.parse_args()
 
     from entity_resolution_spark.operators.chunking import chunk_documents
@@ -63,9 +74,25 @@ def main() -> int:
 
     from entity_resolution_spark.functions.text import ws_tokens
 
+    from entity_resolution_spark.operators.cleaning import c4_clean
+    from entity_resolution_spark.operators.pii import redact_pii
+
     docs = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval_path)
     funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    # 0. optional C4 structural cleaning (drops pages, rewrites text to the
+    #    surviving lines) — before any tokenization so every later stage
+    #    sees the cleaned form
+    if args.c4:
+        cleaned = c4_clean(docs, text_col="text")
+        docs = (
+            cleaned.where(F.col("page_kept") == 1)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "n_lines", "n_kept_lines", "page_kept")
+            .localCheckpoint(eager=True)
+        )
+        funnel.append(("c4_clean", docs.count()))
 
     # 1. row-local quality gates (length + repetition), cheapest first
     docs = docs.withColumn(
@@ -116,6 +143,9 @@ def main() -> int:
     ).localCheckpoint(eager=True)
     funnel.append(("sampled", docs.count()))
 
+    # 5. PII scrub (stateless projection; The-Stack ordering — the last
+    #    text transform before chunking), then chunk the redacted text
+    docs = redact_pii(docs, text_col="text", out_col="text")
     chunks = chunk_documents(
         docs, text_col="text", id_col="doc_id",
         chunk_tokens=args.chunk_tokens, overlap=args.overlap,

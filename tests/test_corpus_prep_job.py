@@ -62,3 +62,48 @@ def test_corpus_prep_job_funnel(spark, tmp_path, monkeypatch, capsys):
     assert {"doc_id", "chunk_idx", "token_start", "n_tokens",
             "chunk_text"} <= set(chunks.columns)
     assert funnel["chunks"] == chunks.count() > 0
+
+
+def test_corpus_prep_job_c4_and_pii_stages(spark, tmp_path, monkeypatch, capsys):
+    """--c4 runs the line/page rules as stage 0 and the PII scrub rewrites
+    chunk text (The-Stack ordering: last transform before chunking)."""
+    import jobs.corpus_prep_job as job
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    # 6 distinct kept lines (identical lines would trip the dup-line gate)
+    prose = "\n".join(
+        " ".join(words[i:i + 10]) + "." for i in range(0, 11, 2)
+    )
+    rows = [
+        (0, prose + "\nreach me at a@b.co today.", "en", "src0"),
+        (1, "no structure at all here", "en", "src0"),  # no terminal punct -> dropped
+        (2, prose.replace(".", ""), "en", "src0"),      # all lines fail -> dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    evp = str(tmp_path / "eval")
+    docs.where("doc_id = 2").write.parquet(evp)  # dropped pre-decontamination
+    out = str(tmp_path / "chunks")
+
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
+        "--chunk-tokens", "16", "--overlap", "0", "--budget-tokens", "1000",
+        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--c4",
+    ])
+    assert job.main() == 0
+    funnel = {}
+    for ln in capsys.readouterr().out.splitlines():
+        if ln.startswith("# corpus_prep"):
+            parts = ln.split()
+            funnel[parts[2].rstrip(":")] = int(parts[3])
+    assert funnel["input"] == 3
+    assert funnel["c4_clean"] == 1
+    assert funnel["chunks"] > 0
+    chunks = spark.read.parquet(out)
+    joined = " ".join(r["chunk_text"] for r in
+                      chunks.orderBy("chunk_idx").collect())
+    assert "<EMAIL>" in joined and "a@b.co" not in joined

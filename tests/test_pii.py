@@ -41,3 +41,12 @@ def test_redact_pii_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a@b.co")], ["id", "text"])
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_in_place_audits_raw_text(spark):
+    """out_col == text_col (in-place scrub, the corpus-prep job path) must
+    still count matches against the ORIGINAL text."""
+    df = spark.createDataFrame([(1, "mail a@b.co and 10.0.0.1")], ["id", "text"])
+    r = redact_pii(df, out_col="text").collect()[0]
+    assert r["text"] == "mail <EMAIL> and <IP>"
+    assert r["pii_email"] == 1 and r["pii_ipv4"] == 1 and r["pii_total"] == 2
