@@ -72,6 +72,7 @@ HEADLINE = [
     "pii_redact_docs",
     "preprocess_docs",
     "c4_clean_docs",
+    "gopher_quality_docs",
 ]
 
 

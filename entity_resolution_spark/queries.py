@@ -2088,6 +2088,98 @@ FROM kept
 """
 
 
+def q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality rules (``operators/quality.gopher_quality`` —
+    Rae et al. 2021). Documents are single-line word soup, so the query
+    synthesizes line structure deterministically on BOTH engines (newline
+    after every 7th token), then injects rule triggers: doc_id%7=0 pages get
+    a bullet prefix per line (bullet rule), doc_id%5=0 pages get a trailing
+    ellipsis per line (ellipsis-line + symbol rules). Every hashed value is
+    a bigint — the rules are evaluated division-free (cross-multiplied
+    integer comparisons)."""
+    from entity_resolution_spark.operators.quality import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t0 = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"((?:[^ ]+ ){6}[^ ]+) ", "$1\n"
+    )
+    t1 = F.when(
+        did % 7 == 0,
+        F.concat(F.lit("- "), F.regexp_replace(t0, "\n", "\n- ")),
+    ).otherwise(t0)
+    t = F.when(
+        did % 5 == 0,
+        F.concat(F.regexp_replace(t1, "\n", "...\n"), F.lit("...")),
+    ).otherwise(t1)
+    return gopher_quality(
+        d.select("doc_id", t.alias("text")), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY_DOCS = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '((?:[^ ]+ ){6}[^ ]+) ',
+                        '\1' || chr(10), 'g') AS t0
+  FROM documents
+), aug1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN '- ' || replace(t0, chr(10), chr(10) || '- ')
+              ELSE t0 END AS t1
+  FROM lined
+), aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(t1, chr(10), '...' || chr(10)) || '...'
+              ELSE t1 END AS t
+  FROM aug1
+), tk AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(lower(t), '\s+'),
+                     x -> x <> '') AS toks,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lns
+  FROM aug
+), parts AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+           AS word_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT
+           AS n_alpha_words,
+         (len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '\.\.\.'))
+          + len(regexp_extract_all(t, '…')))::BIGINT AS n_symbols,
+         len(lns)::BIGINT AS n_lines,
+         len(list_filter(lns, l -> regexp_matches(l, '^[-*•‣▪]')))::BIGINT
+           AS n_bullet_lines,
+         len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)$')))::BIGINT
+           AS n_ellipsis_lines,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         w -> list_contains(toks, w)))::BIGINT AS n_stop_hits
+  FROM tk
+), masked AS (
+  SELECT *,
+         (  CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+          + CASE WHEN word_chars < 3 * n_words
+                   OR word_chars > 10 * n_words THEN 2 ELSE 0 END
+          + CASE WHEN 10 * n_symbols > n_words THEN 4 ELSE 0 END
+          + CASE WHEN 10 * n_bullet_lines > 9 * n_lines THEN 8 ELSE 0 END
+          + CASE WHEN 10 * n_ellipsis_lines > 3 * n_lines THEN 16 ELSE 0 END
+          + CASE WHEN 5 * n_alpha_words < 4 * n_words THEN 32 ELSE 0 END
+          + CASE WHEN n_stop_hits < 2 THEN 64 ELSE 0 END)::BIGINT AS fail_mask
+  FROM parts
+)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_stop_hits, fail_mask,
+       (fail_mask = 0)::BIGINT AS keep
+FROM masked
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -2140,6 +2232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact_docs": q_pii_redact_docs,
     "preprocess_docs": q_preprocess_docs,
     "c4_clean_docs": q_c4_clean_docs,
+    "gopher_quality_docs": q_gopher_quality_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2182,6 +2275,7 @@ ORACLES: dict[str, str] = {
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "preprocess_docs": SQL_PREPROCESS_DOCS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
+    "gopher_quality_docs": SQL_GOPHER_QUALITY_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).

@@ -58,6 +58,10 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line/page rules first (needs "
                          "newline-structured text)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher §A1.1 document rules as part of "
+                         "the quality stage (assumes prose-shaped documents; "
+                         "off by default for code/word-soup corpora)")
     args = ap.parse_args()
 
     from entity_resolution_spark.operators.chunking import chunk_documents
@@ -103,7 +107,15 @@ def main() -> int:
         (F.col("line_chars") > 0)
         & (F.col("dup_chars") * 100 > F.col("line_chars") * args.max_dup_char_pct)
     ).select("doc_id")
-    docs = docs.join(bad, "doc_id", "left_anti").localCheckpoint(eager=True)
+    docs = docs.join(bad, "doc_id", "left_anti")
+    if args.gopher:
+        from entity_resolution_spark.operators.quality import gopher_quality
+
+        gq = gopher_quality(docs, text_col="text", id_col="doc_id")
+        docs = docs.join(
+            gq.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+        )
+    docs = docs.localCheckpoint(eager=True)
     funnel.append(("quality", docs.count()))
 
     # 2. exact dedup (keep each group's min doc_id), then near-dedup by

@@ -107,3 +107,50 @@ def test_corpus_prep_job_c4_and_pii_stages(spark, tmp_path, monkeypatch, capsys)
     joined = " ".join(r["chunk_text"] for r in
                       chunks.orderBy("chunk_idx").collect())
     assert "<EMAIL>" in joined and "a@b.co" not in joined
+
+
+def test_corpus_prep_job_gopher_stage(spark, tmp_path, monkeypatch, capsys):
+    """--gopher folds the Gopher §A1.1 document rules into the quality stage:
+    a doc passing min-tokens but failing the 50-word floor is cut there."""
+    import sys
+
+    import jobs.corpus_prep_job as job
+
+    good = (" ".join(
+        ["the quick brown fox jumps over that lazy dog with steady grace"] * 5
+    ) + ".")
+    rows = [
+        (0, "doc zero " + good, "en", "src0"),
+        (1, "doc one " + good, "en", "src0"),
+        # 20 words: passes --min-tokens 5, fails Gopher bit 0 (< 50 words)
+        (2, "the and that with " + " ".join(f"word{i}" for i in range(16)),
+         "en", "src0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    evp = str(tmp_path / "eval")
+    # eval doc shares no 13-gram window with the corpus
+    spark.createDataFrame(
+        [(9, " ".join(f"ev{i}" for i in range(30)), "en", "srcE")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(evp)
+    out = str(tmp_path / "chunks")
+
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
+        "--chunk-tokens", "32", "--overlap", "0", "--budget-tokens", "100000",
+        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--gopher",
+    ])
+    assert job.main() == 0
+    funnel = {}
+    for ln in capsys.readouterr().out.splitlines():
+        if ln.startswith("# corpus_prep"):
+            parts = ln.split()
+            funnel[parts[2].rstrip(":")] = int(parts[3])
+    assert funnel["input"] == 3
+    assert funnel["quality"] == 2  # doc 2 fails the Gopher word-count rule
+    assert funnel["decontaminated"] == 2
+    assert funnel["chunks"] > 0
