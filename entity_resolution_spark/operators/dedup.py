@@ -188,6 +188,50 @@ def jaccard_dup_clusters(
     )
 
 
+def minhash_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    band_cap: int = 256,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs → connected components → (id, cluster).
+
+    The SCALE twin of :func:`jaccard_dup_clusters` (same output contract:
+    every input doc labeled, singletons label themselves). Candidate volume
+    is bounded by band collisions + the band cap, never by posting-list or
+    block sizes — the corpus-prep lesson from the 700k-file run: the exact
+    PPJoin path's prefix posting lists are only selective when the
+    vocabulary is large relative to the corpus; on a low-diversity corpus
+    (code files from a shared template pool, ~10k tokens/lang) Σ|posting|²
+    explodes while band buckets stay capped. RefinedWeb/SlimPajama use
+    MinHash for the same reason at web scale.
+
+    Similarity is distinct ``shingle_k``-gram Jaccard (verified exactly on
+    every candidate — no LSH false positives; misses bounded by the band
+    schedule, recall-gated 1.0 in bench.py at the default schedule).
+    """
+    pairs = minhash_lsh_dup_pairs(
+        docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, verify_threshold=threshold,
+        band_cap=band_cap,
+    )
+    vertices = docs.select(F.col(id_col).alias("id"))
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        vertices.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+
+
 def _band_candidates(stacked: DataFrame, cap: int) -> DataFrame:
     """(``_bk``, ``_id``) band memberships → candidate (id_a, id_b), id_a < id_b.
 
@@ -244,24 +288,61 @@ def minhash_lsh_dup_pairs(
     Jaccard so the output has no LSH false positives (false negatives bounded by
     the band schedule: P(miss) = (1-s^r)^b). Buckets over ``band_cap`` members
     star-represent instead of going clique-quadratic (see ``_band_candidates``).
+
+    Signature path: at the kernel width (``num_hashes == fast_text.N_MINHASH``)
+    the Arrow tokenizer computes distinct hashed shingles AND the MinHash
+    signature in ONE pass per doc — no explode, no aggregation (the
+    ``minhash_band_blocks`` discipline). The previous exploded-JVM shape ran
+    ``num_hashes`` xxhash64 evals per shingle row — 3.4B evals on a 700k-file
+    corpus, 68% of the corpus-prep job's wall and an AGGREGATE_OUT_OF_MEMORY
+    under an 8 GiB heap. Shingle jaccard over the kernel's hashed windows
+    equals string-shingle jaccard up to 64-bit collisions (the id-surrogate
+    collision class the engine already accepts); the same tokenizer regex
+    backs both paths. Non-kernel widths keep the exploded fallback.
     """
-    # two-step select: bind tokens to a column before the shingle window-slide
-    # (HOF lambdas re-evaluate embedded child expressions per element — see
-    # pipeline.extract_features)
-    base = docs.select(
-        F.col(id_col).alias("_id"), TX.tokens(F.col(text_col)).alias("_tk")
-    ).select(
-        "_id", F.array_distinct(TX.shingles(F.col("_tk"), shingle_k)).alias("_sh")
-    )
-    # base feeds the signature subtree AND both verify probes — materialize
-    # the tokenization once (same discipline as jaccard_pairs)
-    base = base.localCheckpoint(eager=True)
-    sig = (
-        base.select("_id", F.explode("_sh").alias("_v"))
-        .groupBy("_id")
-        .agg(*minhash_signature(F.col("_v"), num_hashes))
-        .select("_id", *band_keys(num_hashes, bands))
-    )
+    from entity_resolution_spark.functions.fast_text import N_MINHASH, code_features
+
+    if num_hashes == N_MINHASH:
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            code_features(F.col(text_col), shingle_k).alias("_cf"),
+        ).select(
+            "_id",
+            F.col("_cf.shingles").alias("_sh"),
+            F.col("_cf.minhash").alias("_mh"),
+        )
+        # base feeds the band subtree AND both verify probes — materialize
+        # the kernel output once (same discipline as jaccard_pairs)
+        base = base.localCheckpoint(eager=True)
+        assert num_hashes % bands == 0, "bands must divide num_hashes"
+        rows = num_hashes // bands
+        sig = base.where(F.size("_mh") == num_hashes).select(
+            "_id",
+            *[
+                F.xxhash64(
+                    F.lit(f"band{b}"),
+                    *[F.element_at("_mh", b * rows + r + 1) for r in range(rows)],
+                ).alias(f"band_{b}")
+                for b in range(bands)
+            ],
+        )
+    else:
+        # two-step select: bind tokens to a column before the shingle
+        # window-slide (HOF lambdas re-evaluate embedded child expressions per
+        # element — see pipeline.extract_features)
+        base = docs.select(
+            F.col(id_col).alias("_id"), TX.tokens(F.col(text_col)).alias("_tk")
+        ).select(
+            "_id",
+            F.array_distinct(TX.shingles(F.col("_tk"), shingle_k)).alias("_sh"),
+        )
+        base = base.localCheckpoint(eager=True)
+        sig = (
+            base.select("_id", F.explode("_sh").alias("_v"))
+            .groupBy("_id")
+            .agg(*minhash_signature(F.col("_v"), num_hashes))
+            .select("_id", *band_keys(num_hashes, bands))
+        )
     stacked = sig.select(
         "_id",
         F.explode(

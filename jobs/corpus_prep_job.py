@@ -23,7 +23,15 @@ stateless map-side projection, so it adds no shuffle to the funnel.
 Stage order is the cheap-filter-first rule: row-local quality gates prune
 before anything shuffles; dedup (one census shuffle + banded candidate join)
 runs on the survivors; decontamination is a broadcast lookup; chunking is
-map-only; budget sampling shuffles only (id, source, n_tokens). Every stage
+map-only; budget sampling shuffles only (id, source, n_tokens).
+
+Near-dedup defaults to the MinHash-LSH path (``--near-dedup minhash``):
+banded candidates + exact shingle-jaccard verify, volume bounded by band
+caps. The exact PPJoin path (``--near-dedup exact``) is only selective when
+the vocabulary is large relative to the corpus — on the 700k-file synthetic
+code corpus (~10k tokens/lang) its prefix posting lists produced a
+candidate join that filled the disk, while the minhash path runs the same
+corpus in minutes (measurement in BENCH/BASELINE.md). Every stage
 prints its row count so a run documents its own funnel, and each surviving
 frame is eagerly localCheckpoint'ed at the stage boundary so the funnel
 count and the following stages read the materialized survivors instead of
@@ -55,6 +63,14 @@ def main() -> int:
     # (Gopher §A1.1 "duplicate line character fraction", default threshold 0.20)
     ap.add_argument("--max-dup-char-pct", type=int, default=20)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--near-dedup", choices=["minhash", "exact"], default="minhash",
+        help="near-dup candidate generation: 'minhash' (banded LSH + exact "
+        "verify — the scale path; candidate volume bounded by band caps) or "
+        "'exact' (PPJoin prefix filtering on distinct word tokens — only "
+        "selective when the vocabulary is large relative to the corpus; a "
+        "700k-file code corpus with ~10k tokens/lang exploded its posting "
+        "lists, so this is the small-corpus/verification mode)")
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line/page rules first (needs "
                          "newline-structured text)")
@@ -69,6 +85,7 @@ def main() -> int:
     from entity_resolution_spark.operators.dedup import (
         exact_dup_groups,
         jaccard_dup_clusters,
+        minhash_dup_clusters,
     )
     from entity_resolution_spark.operators.repetition import repetition_stats
     from entity_resolution_spark.operators.sampling import token_budget_sample
@@ -83,7 +100,18 @@ def main() -> int:
 
     docs = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval_path)
-    funnel: list[tuple[str, int]] = [("input", docs.count())]
+    import time as _time
+
+    _t0 = _time.monotonic()
+
+    def _mark(stage: str, n: int) -> tuple[str, int, float]:
+        nonlocal_t = _time.monotonic()
+        entry = (stage, n, nonlocal_t - _mark.last)
+        _mark.last = nonlocal_t
+        return entry
+
+    _mark.last = _t0
+    funnel: list[tuple[str, int, float]] = [_mark("input", docs.count())]
 
     # 0. optional C4 structural cleaning (drops pages, rewrites text to the
     #    surviving lines) — before any tokenization so every later stage
@@ -96,7 +124,7 @@ def main() -> int:
             .drop("clean_text", "n_lines", "n_kept_lines", "page_kept")
             .localCheckpoint(eager=True)
         )
-        funnel.append(("c4_clean", docs.count()))
+        funnel.append(_mark("c4_clean", docs.count()))
 
     # 1. row-local quality gates (length + repetition), cheapest first
     docs = docs.withColumn(
@@ -116,7 +144,7 @@ def main() -> int:
             gq.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
         )
     docs = docs.localCheckpoint(eager=True)
-    funnel.append(("quality", docs.count()))
+    funnel.append(_mark("quality", docs.count()))
 
     # 2. exact dedup (keep each group's min doc_id), then near-dedup by
     #     3-gram jaccard clusters within language
@@ -126,14 +154,19 @@ def main() -> int:
         .select("doc_id")
     )
     docs = docs.join(exact_keep, "doc_id", "left_semi")
-    near = jaccard_dup_clusters(
-        docs, "doc_id", "text", "lang", threshold=args.jaccard_threshold
-    )
+    if args.near_dedup == "exact":
+        near = jaccard_dup_clusters(
+            docs, "doc_id", "text", "lang", threshold=args.jaccard_threshold
+        )
+    else:
+        near = minhash_dup_clusters(
+            docs, "doc_id", "text", threshold=args.jaccard_threshold
+        )
     near_keep = near.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
     docs = docs.join(
         near_keep.select("doc_id"), "doc_id", "left_semi"
     ).localCheckpoint(eager=True)
-    funnel.append(("dedup", docs.count()))
+    funnel.append(_mark("dedup", docs.count()))
 
     # 3. benchmark decontamination (drop any doc sharing a 13-gram window)
     flags = decontaminate(docs, eval_docs, text_col="text", id_col="doc_id")
@@ -141,7 +174,7 @@ def main() -> int:
         flags.where(~F.col("is_contaminated")).select("doc_id"), "doc_id",
         "left_semi",
     ).localCheckpoint(eager=True)
-    funnel.append(("decontaminated", docs.count()))
+    funnel.append(_mark("decontaminated", docs.count()))
 
     # 4. per-source token budget, then chunk only the kept docs
     sample = token_budget_sample(
@@ -153,7 +186,7 @@ def main() -> int:
     docs = docs.join(
         sample.where("kept").select("doc_id"), "doc_id", "left_semi"
     ).localCheckpoint(eager=True)
-    funnel.append(("sampled", docs.count()))
+    funnel.append(_mark("sampled", docs.count()))
 
     # 5. PII scrub (stateless projection; The-Stack ordering — the last
     #    text transform before chunking), then chunk the redacted text
@@ -164,10 +197,10 @@ def main() -> int:
     )
     chunks.write.mode("overwrite").parquet(args.output)
     n_chunks = spark.read.parquet(args.output).count()
-    funnel.append(("chunks", n_chunks))
+    funnel.append(_mark("chunks", n_chunks))
 
-    for stage, n in funnel:
-        print(f"# corpus_prep {stage}: {n}")
+    for stage, n, sec in funnel:
+        print(f"# corpus_prep {stage}: {n} {sec:.1f}s")
     return 0
 
 

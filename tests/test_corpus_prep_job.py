@@ -36,7 +36,7 @@ def test_corpus_prep_job_funnel(spark, tmp_path, monkeypatch, capsys):
         "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
         "--chunk-tokens", "16", "--overlap", "4", "--budget-tokens", "60",
         "--min-tokens", "5", "--max-dup-char-pct", "30",
-        "--jaccard-threshold", "0.99",
+        "--jaccard-threshold", "0.99", "--near-dedup", "exact",
     ])
     assert job.main() == 0
     funnel = {}
@@ -92,7 +92,7 @@ def test_corpus_prep_job_c4_and_pii_stages(spark, tmp_path, monkeypatch, capsys)
     monkeypatch.setattr(sys, "argv", [
         "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
         "--chunk-tokens", "16", "--overlap", "0", "--budget-tokens", "1000",
-        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--c4",
+        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--near-dedup", "exact", "--c4",
     ])
     assert job.main() == 0
     funnel = {}
@@ -142,7 +142,7 @@ def test_corpus_prep_job_gopher_stage(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", [
         "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
         "--chunk-tokens", "32", "--overlap", "0", "--budget-tokens", "100000",
-        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--gopher",
+        "--min-tokens", "5", "--jaccard-threshold", "0.99", "--near-dedup", "exact", "--gopher",
     ])
     assert job.main() == 0
     funnel = {}
@@ -154,3 +154,47 @@ def test_corpus_prep_job_gopher_stage(spark, tmp_path, monkeypatch, capsys):
     assert funnel["quality"] == 2  # doc 2 fails the Gopher word-count rule
     assert funnel["decontaminated"] == 2
     assert funnel["chunks"] > 0
+
+
+def test_corpus_prep_job_minhash_near_dedup(spark, tmp_path, monkeypatch, capsys):
+    """Default --near-dedup minhash: a near-identical clone (one word changed)
+    is merged by the banded LSH + exact-verify path and only the smallest id
+    survives; an unrelated doc is untouched."""
+    import sys
+
+    import jobs.corpus_prep_job as job
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    rows = [
+        (0, base, "en", "src0"),
+        (1, base.replace("alpha7", "alphaX", 1), "en", "src0"),  # near-dup of 0
+        (2, " ".join(f"zeta{i} eta{i}" for i in range(40)), "en", "src0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    evp = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(9, " ".join(f"ev{i}" for i in range(30)), "en", "srcE")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(evp)
+    out = str(tmp_path / "chunks")
+
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_prep_job.py", "--input", src, "--eval", evp, "--output", out,
+        "--chunk-tokens", "64", "--overlap", "0", "--budget-tokens", "100000",
+        "--min-tokens", "5", "--jaccard-threshold", "0.5",
+    ])
+    assert job.main() == 0
+    funnel = {}
+    for ln in capsys.readouterr().out.splitlines():
+        if ln.startswith("# corpus_prep"):
+            parts = ln.split()
+            funnel[parts[2].rstrip(":")] = int(parts[3])
+    assert funnel["input"] == 3
+    assert funnel["dedup"] == 2  # doc 1 merged into doc 0's cluster
+    chunks = spark.read.parquet(out)
+    kept_ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert kept_ids == {0, 2}
