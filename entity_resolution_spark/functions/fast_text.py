@@ -145,3 +145,55 @@ def code_features(content, shingle_k: int = 5):
             "minhash array<long>, n_tokens long"
         )(_fn)
     return _udf_cache[shingle_k](content)
+
+
+# --- whitespace-token n-gram window hashes (decontamination kernel) --------
+
+_WS_RE_B = re.compile(rb"\s+")  # bytes twin of ws_tokens' /\s+/ (Java \s is
+# ASCII-only, and no ASCII whitespace byte occurs inside a multi-byte UTF-8
+# sequence, so the bytes split equals the str split token-for-token)
+
+
+def ws_ngram_hashes_batch(texts: pd.Series, n: int) -> pd.Series:
+    """Distinct crc32+polynomial window hashes of the ws_tokens token stream —
+    the Arrow twin of ``decontamination.ngram_array`` with int64 surrogates.
+
+    Tokenizer parity contract: tokens are split(lower(text), /\\s+/) with
+    empties dropped — the SAME rule as ``functions.text.ws_tokens`` (the
+    shared corpus-prep tokenizer); change them together or not at all.
+    Window hash = the fast_text polynomial over crc32-widened tokens (the
+    shingle construction of ``_code_features_batch`` at window size ``n``).
+    """
+    out: list[np.ndarray] = []
+    empty = np.empty(0, np.int64)
+    for t in texts:
+        if not t:
+            out.append(empty)
+            continue
+        toks = [
+            x
+            for x in _WS_RE_B.split(t.lower().encode("utf-8", "surrogatepass"))
+            if x
+        ]
+        if len(toks) < n:
+            out.append(empty)
+            continue
+        crcs = np.fromiter(
+            map(zlib.crc32, toks), np.uint32, len(toks)
+        ).astype(np.uint64) * _WIDEN
+        out.append(np.unique(_poly_windows(crcs, n)).view(np.int64))
+    return pd.Series(out)
+
+
+_ngram_udf_cache: dict[int, object] = {}
+
+
+def ws_ngram_hashes(text, n: int = 13):
+    """array<long> column of distinct hashed ``n``-token windows (see
+    :func:`ws_ngram_hashes_batch`). Cached per ``n`` like code_features."""
+    if n not in _ngram_udf_cache:
+        def _fn(texts: pd.Series) -> pd.Series:
+            return ws_ngram_hashes_batch(texts, n)
+
+        _ngram_udf_cache[n] = F.pandas_udf("array<long>")(_fn)
+    return _ngram_udf_cache[n](text)

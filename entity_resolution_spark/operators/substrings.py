@@ -10,8 +10,10 @@ and a gaps-and-islands pass per document to recover maximal repeated SPANS
 from consecutive repeated window starts — a run of ``r`` consecutive repeated
 windows is a duplicated span of ``r + n − 1`` tokens. At 100 TB the census
 table is the working set (windows ≪ suffixes, and the count aggregate
-combines map-side); windows travel as strings here for oracle exactness —
-a production deployment hashes them to int64 first (same plan shape).
+combines map-side); windows travel as xxhash64 int64 surrogates (counting
+over surrogates equals counting over strings up to the engine's accepted
+64-bit collision class; the DuckDB oracles compare COUNTS, not keys, so
+they stay exact).
 
 Within-doc repetition is deliberately NOT counted (that is
 ``repetition_stats``); a window qualifies only when ≥ 2 DISTINCT docs carry
@@ -42,7 +44,17 @@ def repeated_window_stats(
     (longest duplicated span = max_repeated_run + n − 1 tokens; 0 if none).
     """
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    base = d.select("_id", ngram_windows(F.col("_t"), n).alias("_ws"))
+    # census key = xxhash64 surrogate of each window (position order kept) —
+    # the census exchange and the join back ship 8-byte keys instead of the
+    # ~90-byte strings (same surrogate discipline and collision class as
+    # decontamination.ngram_hash_array; the module docstring's "production
+    # hashes them first" note, now the default)
+    base = d.select(
+        "_id",
+        F.transform(
+            ngram_windows(F.col("_t"), n), lambda w: F.xxhash64(w)
+        ).alias("_ws"),
+    )
     ex = base.select(
         "_id", F.posexplode("_ws").alias("_i", "_w")
     ).select("_id", (F.col("_i") + 1).alias("_pos"), "_w")
@@ -111,7 +123,13 @@ def source_overlap_matrix(
     times; this shuffles them once.
     """
     d = docs.select(
-        F.col(group_col).alias("_g"), ngram_windows(F.col(text_col), n).alias("_ws")
+        F.col(group_col).alias("_g"),
+        # census key = xxhash64 surrogate of the window, not the ~90-byte
+        # string — the one exchange here ships 8-byte keys (same surrogate
+        # discipline and collision class as decontamination.ngram_hash_array)
+        F.transform(
+            ngram_windows(F.col(text_col), n), lambda w: F.xxhash64(w)
+        ).alias("_ws"),
     )
     wsets = (
         d.select("_g", F.explode("_ws").alias("_w"))

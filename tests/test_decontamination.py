@@ -59,7 +59,15 @@ def test_decontaminate_every_doc_present(spark):
 def test_eval_ngram_set_distinct(spark):
     ev = _docs(spark, [(1, "a b c a b c"), (2, "a b c")])
     grams = {r["ngram"] for r in eval_ngram_set(ev, n=3).collect()}
-    assert grams == {"a b c", "b c a", "c a b"}
+    # keys are kernel window-hash surrogates — recompute them directly with
+    # the batch kernel on the distinct-window source text
+    import pandas as pd
+
+    from entity_resolution_spark.functions.fast_text import ws_ngram_hashes_batch
+
+    expected = set(ws_ngram_hashes_batch(pd.Series(["a b c a b c"]), 3)[0])
+    assert len(expected) == 3  # "a b c", "b c a", "c a b"
+    assert grams == expected
 
 
 def test_decontaminate_plan_broadcasts_eval_side(spark):
