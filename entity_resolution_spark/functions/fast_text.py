@@ -8,7 +8,12 @@ local-mode JVM (interpreted lambda evaluation over ~35M token elements is flat
 (hashed shingles, winnowing fingerprints, token count) in ONE pandas UDF:
 
 - tokens: the same ``[^a-z0-9_]+`` lowercase split as :func:`functions.text.tokens`;
-- per-token 64-bit values: zlib.crc32 (C speed) widened by a polynomial combine;
+- per-token 64-bit values: TWO independent zlib.crc32 passes (forward bytes in
+  the high word, reversed bytes in the low word — CRC is linear in the message
+  bits, so a re-seeded second pass would add no entropy, while bit-reversal
+  yields an independent linear map), splitmix64-finalized. Distinct tokens
+  collide at the 64-bit birthday rate, not crc32's 32-bit rate (which an
+  advisory audit measured as expected collisions beyond ~80k vocabulary);
 - shingle hash of a k-window: FNV-prime polynomial over the k token values —
   computed for ALL windows with k vectorized numpy ops (no per-window work);
 - fingerprints: window=8 polynomial hashes, kept when ``h & 15 == 0``
@@ -44,6 +49,21 @@ _A = np.uint64(1099511628211)  # FNV-1a prime: polynomial rolling multiplier
 _WIDEN = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant widens crc32
 
 N_MINHASH = 32  # signature width baked into the kernel (BlockingConfig.num_hashes)
+
+
+def _token_hashes64(toks: list) -> np.ndarray:
+    """uint64 per-token hash: crc32(bytes) << 32 | crc32(reversed bytes),
+    splitmix64-finalized. The reversed-byte pass is the second INDEPENDENT
+    32-bit hash (a different crc32 seed is only a length-dependent affine
+    shift of the same linear map and adds nothing); together the two span a
+    ~full-rank 64-bit linear map, so the per-token collision class is
+    2^-64-ish, not the 32-bit birthday rate ADVICE flagged."""
+    n = len(toks)
+    fwd = np.fromiter(map(zlib.crc32, toks), np.uint32, n).astype(np.uint64)
+    rev = np.fromiter(
+        (zlib.crc32(t[::-1]) for t in toks), np.uint32, n
+    ).astype(np.uint64)
+    return _splitmix64((fwd << np.uint64(32)) | rev)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -102,10 +122,7 @@ def _code_features_batch(texts: pd.Series, shingle_k: int) -> pd.DataFrame:
             fp_out.append(empty)
             mh_out.append(empty)
             continue
-        crcs = np.fromiter(
-            map(zlib.crc32, toks),
-            np.uint32, len(toks),
-        ).astype(np.uint64) * _WIDEN
+        crcs = _token_hashes64(toks)
         shu = np.unique(_poly_windows(crcs, shingle_k))
         sh = shu.view(np.int64)
         fps = _poly_windows(crcs, 8)
@@ -155,14 +172,17 @@ _WS_RE_B = re.compile(rb"\s+")  # bytes twin of ws_tokens' /\s+/ (Java \s is
 
 
 def ws_ngram_hashes_batch(texts: pd.Series, n: int) -> pd.Series:
-    """Distinct crc32+polynomial window hashes of the ws_tokens token stream —
+    """Distinct polynomial window hashes of the ws_tokens token stream —
     the Arrow twin of ``decontamination.ngram_array`` with int64 surrogates.
 
     Tokenizer parity contract: tokens are split(lower(text), /\\s+/) with
     empties dropped — the SAME rule as ``functions.text.ws_tokens`` (the
     shared corpus-prep tokenizer); change them together or not at all.
-    Window hash = the fast_text polynomial over crc32-widened tokens (the
-    shingle construction of ``_code_features_batch`` at window size ``n``).
+    Window hash = the fast_text polynomial over 64-bit dual-crc32 token
+    hashes (``_token_hashes64`` — the shingle construction of
+    ``_code_features_batch`` at window size ``n``), so both the per-token
+    and per-window collision classes are 64-bit, not crc32's 32-bit
+    birthday rate.
     """
     out: list[np.ndarray] = []
     empty = np.empty(0, np.int64)
@@ -178,10 +198,9 @@ def ws_ngram_hashes_batch(texts: pd.Series, n: int) -> pd.Series:
         if len(toks) < n:
             out.append(empty)
             continue
-        crcs = np.fromiter(
-            map(zlib.crc32, toks), np.uint32, len(toks)
-        ).astype(np.uint64) * _WIDEN
-        out.append(np.unique(_poly_windows(crcs, n)).view(np.int64))
+        out.append(
+            np.unique(_poly_windows(_token_hashes64(toks), n)).view(np.int64)
+        )
     return pd.Series(out)
 
 

@@ -86,11 +86,20 @@ def ngram_hash_array(text: Column, n: int) -> Column:
 def eval_ngram_set(
     eval_docs: DataFrame, text_col: str = "content", n: int = 13
 ) -> DataFrame:
-    """Distinct n-gram set of the eval/benchmark corpus → (ngram bigint,
-    the xxhash64 surrogate — see :func:`ngram_hash_array`).
+    """Distinct n-gram set of the eval/benchmark corpus → (ngram bigint —
+    the dual-crc32 + polynomial KERNEL hash of :func:`ngram_hash_array`, NOT
+    xxhash64 and NOT the n-gram string itself).
 
     Small by construction (eval sets are not web-scale); the caller
     broadcasts it. Materialize once and reuse across corpus shards.
+
+    MIGRATION: early versions emitted the n-gram STRING here (and a later
+    one used a different 32-bit-token hash). A persisted eval set from
+    either joins against current corpus hashes with an implicit cast and
+    silently matches NOTHING — zero contamination flagged. Re-materialize
+    persisted eval sets whenever the kernel hash changes;
+    :func:`contamination_counts` type-asserts the column so a stale string
+    set fails loudly instead.
     """
     return (
         eval_docs.select(
@@ -107,7 +116,20 @@ def contamination_counts(exploded: DataFrame, ev: DataFrame, group_cols) -> Data
     and the streaming twin. ``count()`` over a groupBy never returns NULL,
     and callers build ``exploded`` with ``explode_outer`` so even an empty
     doc contributes a NULL-ngram row and forms a group — no fill-up join.
+
+    Both ``ngram`` columns must be the KERNEL's bigint surrogate — a stale
+    persisted eval set still carrying strings (see the migration note on
+    :func:`eval_ngram_set`) would otherwise join through an implicit cast
+    and match nothing; fail loudly instead.
     """
+    for side, frame in (("exploded", exploded), ("eval", ev)):
+        dt = dict(frame.dtypes).get("ngram")
+        if dt != "bigint":
+            raise TypeError(
+                f"contamination_counts: {side}.ngram is {dt!r}, expected "
+                "bigint kernel hashes — re-materialize the eval n-gram set "
+                "with the current ngram_hash_array kernel"
+            )
     return (
         exploded.join(ev, "ngram", "left")
         .groupBy(*group_cols)

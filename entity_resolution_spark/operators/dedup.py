@@ -172,9 +172,16 @@ def jaccard_dup_clusters(
     text_col: str = "text",
     block_col: str | None = "lang",
     threshold: float = 0.8,
+    ngram: int = 1,
 ) -> DataFrame:
-    """Jaccard pairs → connected components → (id, cluster = min id of component)."""
-    edges = jaccard_pairs(docs, id_col, text_col, block_col, threshold)
+    """Jaccard pairs → connected components → (id, cluster = min id of component).
+
+    ``ngram`` threads through to :func:`jaccard_pairs`: 1 = distinct-token
+    Jaccard; k>1 = distinct token-k-gram (shingle) Jaccard — pass the same k
+    as :func:`minhash_dup_clusters`'s ``shingle_k`` (and the same
+    ``block_col``) to make this the exact verification twin of the MinHash
+    scale path."""
+    edges = jaccard_pairs(docs, id_col, text_col, block_col, threshold, ngram)
     vertices = docs.select(F.col(id_col).alias("id"))
     labels = connected_components(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -197,6 +204,7 @@ def minhash_dup_clusters(
     num_hashes: int = 32,
     bands: int = 16,
     band_cap: int = 256,
+    block_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs → connected components → (id, cluster).
 
@@ -213,11 +221,15 @@ def minhash_dup_clusters(
     Similarity is distinct ``shingle_k``-gram Jaccard (verified exactly on
     every candidate — no LSH false positives; misses bounded by the band
     schedule, recall-gated 1.0 in bench.py at the default schedule).
+
+    ``block_col`` (default None = corpus-wide, the RefinedWeb shape) scopes
+    band buckets to the block, making this the semantic twin of
+    ``jaccard_dup_clusters(block_col=..., ngram=shingle_k)``.
     """
     pairs = minhash_lsh_dup_pairs(
         docs, id_col=id_col, text_col=text_col, shingle_k=shingle_k,
         num_hashes=num_hashes, bands=bands, verify_threshold=threshold,
-        band_cap=band_cap,
+        band_cap=band_cap, block_col=block_col,
     )
     vertices = docs.select(F.col(id_col).alias("id"))
     labels = connected_components(
@@ -280,6 +292,7 @@ def minhash_lsh_dup_pairs(
     bands: int = 16,
     verify_threshold: float = 0.5,
     band_cap: int = 256,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Scale path: shingle → MinHash → band-bucket join → verify with true Jaccard.
 
@@ -302,12 +315,15 @@ def minhash_lsh_dup_pairs(
     """
     from entity_resolution_spark.functions.fast_text import N_MINHASH, code_features
 
+    blk = (F.col(block_col) if block_col else F.lit("all")).alias("_blk")
     if num_hashes == N_MINHASH:
         base = docs.select(
             F.col(id_col).alias("_id"),
+            blk,
             code_features(F.col(text_col), shingle_k).alias("_cf"),
         ).select(
             "_id",
+            "_blk",
             F.col("_cf.shingles").alias("_sh"),
             F.col("_cf.minhash").alias("_mh"),
         )
@@ -318,6 +334,7 @@ def minhash_lsh_dup_pairs(
         rows = num_hashes // bands
         sig = base.where(F.size("_mh") == num_hashes).select(
             "_id",
+            "_blk",
             *[
                 F.xxhash64(
                     F.lit(f"band{b}"),
@@ -331,24 +348,33 @@ def minhash_lsh_dup_pairs(
         # window-slide (HOF lambdas re-evaluate embedded child expressions per
         # element — see pipeline.extract_features)
         base = docs.select(
-            F.col(id_col).alias("_id"), TX.tokens(F.col(text_col)).alias("_tk")
+            F.col(id_col).alias("_id"), blk,
+            TX.tokens(F.col(text_col)).alias("_tk"),
         ).select(
             "_id",
+            "_blk",
             F.array_distinct(TX.shingles(F.col("_tk"), shingle_k)).alias("_sh"),
         )
         base = base.localCheckpoint(eager=True)
         sig = (
-            base.select("_id", F.explode("_sh").alias("_v"))
-            .groupBy("_id")
+            base.select("_id", "_blk", F.explode("_sh").alias("_v"))
+            .groupBy("_id", "_blk")
             .agg(*minhash_signature(F.col("_v"), num_hashes))
-            .select("_id", *band_keys(num_hashes, bands))
+            .select("_id", "_blk", *band_keys(num_hashes, bands))
         )
+    # band-bucket key includes the block: with block_col set, candidates can
+    # only form within a block (the IdentityBlocker twin of the exact path)
     stacked = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws("#", F.lit(str(b)), F.col(f"band_{b}").cast("string"))
+                    F.concat_ws(
+                        "#",
+                        F.col("_blk"),
+                        F.lit(str(b)),
+                        F.col(f"band_{b}").cast("string"),
+                    )
                     for b in range(bands)
                 ]
             )

@@ -9,7 +9,7 @@ applied at design time):
 
 bit 0  word count outside [min_words, max_words]        (50, 100_000)
 bit 1  mean word length outside [3, 10]                 3n ≤ chars ≤ 10n
-bit 2  symbol-to-word ratio > 0.1                       10·symbols > n
+bit 2  symbol-to-word ratio > 0.1 for EITHER symbol     10·hash > n OR 10·ell > n
 bit 3  > 90% of lines start with a bullet               10·bullet > 9·lines
 bit 4  > 30% of lines end with an ellipsis              10·ell > 3·lines
 bit 5  < 80% of words contain an alphabetic char        5·alpha < 4·n
@@ -21,8 +21,10 @@ output, per the house oracle rules).
 Definitions (documented for the DuckDB oracle, which mirrors them exactly):
 - words: the shared corpus-prep tokenizer ``ws_tokens`` (split lowered text
   on /\\s+/, empties dropped);
-- symbols: occurrences of ``#`` plus non-overlapping ``...`` plus ``…``
-  (the paper's "symbol" set: hash and ellipsis);
+- symbols: the paper's two symbol classes counted SEPARATELY — ``#``
+  occurrences, and non-overlapping ``...`` plus ``…`` occurrences; the
+  0.1 ratio applies to each class on its own ("either the hash symbol or
+  the ellipsis", Rae et al. A1.1), not to their sum;
 - lines: elements of split(text, '\\n'), space-trimmed, empties dropped
   (the same line convention as ``repetition_stats``);
 - bullet line: trimmed line starts with one of ``- * • ‣ ▪``;
@@ -70,8 +72,9 @@ def gopher_quality(
 ) -> DataFrame:
     """(id, text) → Gopher-rule integer parts + ``fail_mask`` + ``keep``.
 
-    Output (all bigint): (id, n_words, word_chars, n_alpha_words, n_symbols,
-    n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits, fail_mask, keep).
+    Output (all bigint): (id, n_words, word_chars, n_alpha_words,
+    n_hash_symbols, n_ellipsis_symbols, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_stop_hits, fail_mask, keep).
     Pure projection — no shuffle, no UDF.
     """
     d = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
@@ -97,11 +100,12 @@ def gopher_quality(
         F.size(
             F.filter(F.col("_tk"), lambda t: t.rlike("[a-z]"))
         ).cast("bigint").alias("n_alpha_words"),
+        F.regexp_count(F.coalesce("_t", F.lit("")), F.lit("#"))
+        .cast("bigint").alias("n_hash_symbols"),
         (
-            F.regexp_count(F.coalesce("_t", F.lit("")), F.lit("#"))
-            + F.regexp_count(F.coalesce("_t", F.lit("")), F.lit(r"\.\.\."))
+            F.regexp_count(F.coalesce("_t", F.lit("")), F.lit(r"\.\.\."))
             + F.regexp_count(F.coalesce("_t", F.lit("")), F.lit("…"))
-        ).cast("bigint").alias("n_symbols"),
+        ).cast("bigint").alias("n_ellipsis_symbols"),
         F.size("_ln").cast("bigint").alias("n_lines"),
         F.size(
             F.filter(F.col("_ln"), lambda ln: ln.rlike(BULLET_START_RE))
@@ -120,7 +124,8 @@ def gopher_quality(
     bits = [
         (n < min_words) | (n > max_words),
         (F.col("word_chars") < 3 * n) | (F.col("word_chars") > 10 * n),
-        10 * F.col("n_symbols") > n,
+        (10 * F.col("n_hash_symbols") > n)
+        | (10 * F.col("n_ellipsis_symbols") > n),
         10 * F.col("n_bullet_lines") > 9 * F.col("n_lines"),
         10 * F.col("n_ellipsis_lines") > 3 * F.col("n_lines"),
         5 * F.col("n_alpha_words") < 4 * n,
@@ -132,7 +137,8 @@ def gopher_quality(
     out = parts.withColumn("fail_mask", mask)
     return out.select(
         F.col("_id").alias(id_col),
-        "n_words", "word_chars", "n_alpha_words", "n_symbols", "n_lines",
+        "n_words", "word_chars", "n_alpha_words", "n_hash_symbols",
+        "n_ellipsis_symbols", "n_lines",
         "n_bullet_lines", "n_ellipsis_lines", "n_stop_hits", "fail_mask",
         (F.col("fail_mask") == 0).cast("bigint").alias("keep"),
     )

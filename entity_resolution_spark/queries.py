@@ -1046,8 +1046,8 @@ SQL_EVENTS_WINDOWED_STATS = r"""
 SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
 """
@@ -2149,9 +2149,9 @@ WITH lined AS (
            AS word_chars,
          len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT
            AS n_alpha_words,
-         (len(regexp_extract_all(t, '#'))
-          + len(regexp_extract_all(t, '\.\.\.'))
-          + len(regexp_extract_all(t, '…')))::BIGINT AS n_symbols,
+         len(regexp_extract_all(t, '#'))::BIGINT AS n_hash_symbols,
+         (len(regexp_extract_all(t, '\.\.\.'))
+          + len(regexp_extract_all(t, '…')))::BIGINT AS n_ellipsis_symbols,
          len(lns)::BIGINT AS n_lines,
          len(list_filter(lns, l -> regexp_matches(l, '^[-*•‣▪]')))::BIGINT
            AS n_bullet_lines,
@@ -2165,14 +2165,16 @@ WITH lined AS (
          (  CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
           + CASE WHEN word_chars < 3 * n_words
                    OR word_chars > 10 * n_words THEN 2 ELSE 0 END
-          + CASE WHEN 10 * n_symbols > n_words THEN 4 ELSE 0 END
+          + CASE WHEN 10 * n_hash_symbols > n_words
+                   OR 10 * n_ellipsis_symbols > n_words THEN 4 ELSE 0 END
           + CASE WHEN 10 * n_bullet_lines > 9 * n_lines THEN 8 ELSE 0 END
           + CASE WHEN 10 * n_ellipsis_lines > 3 * n_lines THEN 16 ELSE 0 END
           + CASE WHEN 5 * n_alpha_words < 4 * n_words THEN 32 ELSE 0 END
           + CASE WHEN n_stop_hits < 2 THEN 64 ELSE 0 END)::BIGINT AS fail_mask
   FROM parts
 )
-SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_lines,
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_hash_symbols,
+       n_ellipsis_symbols, n_lines,
        n_bullet_lines, n_ellipsis_lines, n_stop_hits, fail_mask,
        (fail_mask = 0)::BIGINT AS keep
 FROM masked

@@ -65,12 +65,17 @@ def main() -> int:
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     ap.add_argument(
         "--near-dedup", choices=["minhash", "exact"], default="minhash",
-        help="near-dup candidate generation: 'minhash' (banded LSH + exact "
-        "verify — the scale path; candidate volume bounded by band caps) or "
-        "'exact' (PPJoin prefix filtering on distinct word tokens — only "
-        "selective when the vocabulary is large relative to the corpus; a "
-        "700k-file code corpus with ~10k tokens/lang exploded its posting "
-        "lists, so this is the small-corpus/verification mode)")
+        help="near-dup candidate generation. Both modes measure the SAME "
+        "similarity — distinct 3-gram code-token shingle Jaccard within "
+        "'lang' blocks — and differ only in candidate generation: 'minhash' "
+        "(banded LSH + exact verify — the scale path; candidate volume "
+        "bounded by band caps) or 'exact' (PPJoin prefix filtering — the "
+        "lossless verification twin, only selective when the vocabulary is "
+        "large relative to the corpus; a 700k-file code corpus with ~10k "
+        "tokens/lang exploded its posting lists, so minhash is the default)")
+    ap.add_argument("--shingle-k", type=int, default=3,
+                    help="token n-gram size for near-dup similarity "
+                         "(both modes)")
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line/page rules first (needs "
                          "newline-structured text)")
@@ -147,7 +152,9 @@ def main() -> int:
     funnel.append(_mark("quality", docs.count()))
 
     # 2. exact dedup (keep each group's min doc_id), then near-dedup by
-    #     3-gram jaccard clusters within language
+    #    shingle_k-gram code-token jaccard clusters within 'lang' blocks —
+    #    identical similarity + blocking in BOTH modes (only candidate
+    #    generation differs: PPJoin vs banded LSH)
     exact_keep = (
         exact_dup_groups(docs, id_col="doc_id", text_col="text")
         .where(F.col("doc_id") == F.col("dup_group"))
@@ -156,11 +163,13 @@ def main() -> int:
     docs = docs.join(exact_keep, "doc_id", "left_semi")
     if args.near_dedup == "exact":
         near = jaccard_dup_clusters(
-            docs, "doc_id", "text", "lang", threshold=args.jaccard_threshold
+            docs, "doc_id", "text", "lang",
+            threshold=args.jaccard_threshold, ngram=args.shingle_k,
         )
     else:
         near = minhash_dup_clusters(
-            docs, "doc_id", "text", threshold=args.jaccard_threshold
+            docs, "doc_id", "text", threshold=args.jaccard_threshold,
+            shingle_k=args.shingle_k, block_col="lang",
         )
     near_keep = near.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
     docs = docs.join(

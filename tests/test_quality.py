@@ -44,12 +44,19 @@ def test_gopher_mean_word_length_rule(spark):
 
 
 def test_gopher_symbol_ratio_rule(spark):
-    # GOOD (68 words) + 8 hashes and 2 "..." → 10 symbols; 10·10 > 78 fails
-    sym = GOOD + " " + "# " * 8 + "... ..."
+    # Paper rule (Rae et al. A1.1): EITHER class alone must exceed 0.1.
+    # GOOD (68 words) + 9 hashes → 77 words total; 10·9 > 77 fails on hash.
+    sym = GOOD + " " + "# " * 9
     r = _run(spark, [(1, sym)])[1]
-    assert r["n_symbols"] == 10
+    assert r["n_hash_symbols"] == 9 and r["n_ellipsis_symbols"] == 0
     assert r["fail_mask"] & 4
-    assert not _run(spark, [(2, GOOD)])[2]["fail_mask"] & 4
+    # 6% hashes + 6% ellipses: neither class alone exceeds 0.1 → PASSES
+    # (the pre-fix summed-ratio variant wrongly failed this doc)
+    mixed = GOOD + " " + "# " * 5 + "... ... ... ... ..."
+    r2 = _run(spark, [(2, mixed)])[2]
+    assert r2["n_hash_symbols"] == 5 and r2["n_ellipsis_symbols"] == 5
+    assert not r2["fail_mask"] & 4
+    assert not _run(spark, [(3, GOOD)])[3]["fail_mask"] & 4
 
 
 def test_gopher_bullet_and_ellipsis_line_rules(spark):
