@@ -42,6 +42,68 @@ def test_cosine_udf_identical_and_disjoint(spark):
     assert got[1] == 0.0
 
 
+def test_pair_kernel_duplicate_term_ids_exact():
+    """assume_unique hazard (VERDICT r3 #3): within-row duplicate term ids —
+    e.g. two distinct terms collided to one 31-bit hash — must not corrupt
+    the intersect. The kernel merges duplicates by summing weights (the
+    assembler's canonical collided-run rule), so cosine/jaccard equal the
+    dense computation over the merged vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_spark.functions.vectors import _batch_cosine_jaccard
+
+    # row 0: side A carries term 7 TWICE (weights .6 and .8 — merge to 1.4);
+    # the intersect must see ONE key per (row, term) and the merged weight
+    ta = pd.Series([np.array([7, 7, 9])])
+    wa = pd.Series([np.array([0.6, 0.8, 0.36])])
+    tb = pd.Series([np.array([7, 9])])
+    wb = pd.Series([np.array([0.8, 0.36])])
+    dots, jac = _batch_cosine_jaccard(ta, wa, tb, wb)
+    assert dots[0] == (0.6 + 0.8) * 0.8 + 0.36 * 0.36  # exact float arithmetic
+    assert jac[0] == 1.0  # {7,9} vs {7,9} after the merge, not 2/3
+
+
+def test_tfidf_collision_term_ids_unique_and_self_cosine(spark):
+    """Two distinct int64 shingle values whose 31-bit xxhash64 ids collide
+    (46796 and 55022 → 193894664, found by birthday search over the bit-exact
+    numpy replica) in ONE doc: the assembler must emit unique term ids
+    (weights SUMMED on the collided id, norm over the merged top-k) and
+    self-cosine through the pair UDF must stay exactly 1.0."""
+    import numpy as np
+
+    from entity_resolution_spark.functions.vectors import _xxhash64_long
+
+    a, b = 46796, 55022
+    ha, hb = (
+        _xxhash64_long(np.array([a, b], dtype=np.int64))
+        & np.uint64(0x7FFFFFFF)
+    ).astype(np.int64)
+    assert ha == hb  # precondition: the pair really collides at 31 bits
+    docs = spark.createDataFrame(
+        [(1, [a, b, 999]), (2, [a, 999]), (3, [12345])],
+        "unique_id long, toks array<long>",
+    )
+    vecs = tfidf_vectors(docs, "unique_id", "toks", min_df=1)
+    rows = {r["unique_id"]: r for r in vecs.collect()}
+    for r in rows.values():
+        terms = list(r["terms"])
+        assert len(terms) == len(set(terms)), "collided ids must be merged"
+        assert terms == sorted(terms)
+    assert len(rows[1]["terms"]) == 2  # {collided_id, hash(999)}
+    pairs = (
+        vecs.alias("x")
+        .join(vecs.alias("y"), F.col("x.unique_id") == F.col("y.unique_id"))
+        .select(
+            cosine_sorted_udf(
+                "x.terms", "x.weights", "y.terms", "y.weights"
+            ).alias("c")
+        )
+    )
+    for r in pairs.collect():
+        assert abs(r["c"] - 1.0) < 1e-6
+
+
 def test_jaro_winkler_known_values():
     assert jaro_winkler_py("abc", "abc") == 1.0
     assert jaro_winkler_py("", "abc") == 0.0
