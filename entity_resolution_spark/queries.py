@@ -639,6 +639,79 @@ FROM r
 """
 
 
+def q_er_resolve_f1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable F1 gate for the FULL flagship family (VERDICT r3 #3):
+    pairwise confusion counts of the full pipeline's clusters against the
+    SQL-certifiable truth, restricted to the shared blocking key — the north
+    rule's "labeled pairs at the same blocking key" made a hash-compared
+    driver row instead of a pytest claim.
+
+    Truth = the (lang, sha256(content)) clusters that the exact-family query
+    (``er_resolve_docs_exact``) independently certifies hash-exact. Pairs are
+    counted INSIDE the pipeline's own exact blocking key ``sha:{lang}:{48-bit
+    sha prefix}`` (reference semantics: ``qa/acceptance_metrics.py:55-74``
+    computes P/R/F1 over labeled pairs at the shared key):
+
+    - tp = same-truth pairs the pipeline put in one cluster,
+    - fn = same-truth pairs it split (recall failures),
+    - fp = within-block pairs it merged across DIFFERENT full shas (possible
+      only under a 48-bit prefix collision — certifying the blocking key
+      itself carries no false merges).
+
+    The oracle asserts the perfect-score counts (tp = Σ n·(n-1)/2 over truth
+    groups, fp = fn = 0) straight from the documents table, so this row is
+    green IFF the full family achieves pairwise F1 = 1.0 on these labeled
+    pairs. All counts are exact bigint arithmetic — no float F1 in the
+    hashed output.
+
+    Scale shape: three map-side-combining groupBys over (lang, sha[, prefix,
+    cluster]) — pair counts come from group sizes (n·(n-1)/2), never from
+    materializing pairs."""
+    clusters = q_er_resolve_docs(spark, sf_dir)
+    g = clusters.select(
+        "lang", "content_sha", F.substring("content_sha", 1, 12).alias("_pfx"),
+        "cluster_id",
+    ).localCheckpoint(eager=True)
+
+    def _pairs(n):
+        return (n * (n - 1) / 2).cast("bigint")
+
+    pos = (
+        g.groupBy("lang", "content_sha").agg(F.count("*").alias("_n"))
+        .agg(F.coalesce(F.sum(_pairs(F.col("_n"))), F.lit(0)).alias("_pos"))
+    )
+    tp = (
+        g.groupBy("lang", "content_sha", "cluster_id")
+        .agg(F.count("*").alias("_m"))
+        .agg(F.coalesce(F.sum(_pairs(F.col("_m"))), F.lit(0)).alias("_tp"))
+    )
+    pred_blk = (
+        g.groupBy("lang", "_pfx", "cluster_id").agg(F.count("*").alias("_b"))
+        .agg(F.coalesce(F.sum(_pairs(F.col("_b"))), F.lit(0)).alias("_pred"))
+    )
+    return (
+        pos.crossJoin(tp).crossJoin(pred_blk)  # three 1-row frames
+        .select(
+            F.col("_tp").cast("bigint").alias("tp"),
+            (F.col("_pred") - F.col("_tp")).cast("bigint").alias("fp"),
+            (F.col("_pos") - F.col("_tp")).cast("bigint").alias("fn"),
+        )
+    )
+
+
+SQL_ER_RESOLVE_F1_DOCS = """
+WITH t AS (
+  SELECT lang, sha256(text) AS sha, COUNT(*) AS n
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(0 AS BIGINT) AS fn
+FROM t
+"""
+
+
 def q_sanction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep nested-JSON normalization (the sanction visitor family,
     reference ``features/common.py:336-530``): a raw-entity JSON document is
@@ -2206,6 +2279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "er_resolve_docs": q_er_resolve_docs,
     "er_resolve_docs_exact": q_er_resolve_docs_exact,
+    "er_resolve_f1_docs": q_er_resolve_f1_docs,
     "sanction_features": q_sanction_features,
     "sanction_resolve": q_sanction_resolve,
     "org_sanction_features": q_org_sanction_features,
@@ -2256,6 +2330,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "er_resolve_docs_exact": SQL_ER_RESOLVE_DOCS_EXACT,
+    "er_resolve_f1_docs": SQL_ER_RESOLVE_F1_DOCS,
     "sanction_features": SQL_SANCTION_FEATURES,
     "sanction_resolve": SQL_SANCTION_RESOLVE,
     "org_sanction_features": SQL_ORG_SANCTION_FEATURES,
