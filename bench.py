@@ -44,6 +44,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "er_resolve_docs",
     "er_resolve_docs_exact",
+    "er_resolve_f1_docs",
     "sanction_features",
     "sanction_resolve",
     "org_sanction_features",
@@ -204,8 +205,15 @@ def main() -> int:
     # run misattributes tens of seconds to whichever query it hits (round-2
     # bench showed 27.7s single-shot vs 9.8s warm for the same query). The
     # passes are spaced so one burst cannot hit both reps of a query.
+    from entity_resolution_spark.queries import clear_session_memo
+
     reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for rep in range(2):
+        # honesty rule for the session-scoped shared subtrees (jaccard edges,
+        # CC labels, flagship clusters): clear per pass so each pass pays
+        # every build exactly once — in its first consumer — and min-of-passes
+        # can never report a pure memo hit for the builder query itself
+        clear_session_memo()
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.monotonic()
@@ -221,6 +229,7 @@ def main() -> int:
     # (this host's bursts last minutes — long enough to straddle two passes of
     # a ~2-min suite). One more spaced sample bounds the damage to the noise
     # victims instead of tripling the whole suite.
+    clear_session_memo()  # tiebreak reps must not hit a pass-2 memo either
     for name, ds in reps.items():
         if len(ds) == 2 and min(ds) > 2.0 and max(ds) / min(ds) > 1.5:
             t0 = time.monotonic()

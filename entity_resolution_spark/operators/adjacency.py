@@ -27,6 +27,7 @@ def feature_intersection_edges(
     id_col: str = "unique_id",
     inverse_degree: bool = False,
     per_feature: bool = False,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Weighted undirected edges (id_a < id_b) from shared feature values.
 
@@ -36,12 +37,18 @@ def feature_intersection_edges(
                                                   reference divides by posting-list
                                                   degree, adjacency.py:61-64)
     ``per_feature=True`` keeps the feature name in the key (reference ``as_list``).
+    ``block_col`` scopes the value join (and the df census) to the block —
+    the reference always runs adjacency inside one blocked name, so block-
+    scoped callers (e.g. the graph_node_th spectral gate) pass it to keep
+    posting lists block-local at scale.
     """
     parts = []
+    blk_sel = [F.col(block_col).alias("_blk")] if block_col else []
     for fc in feature_cols:
         parts.append(
             records.select(
                 F.col(id_col).alias("_id"),
+                *blk_sel,
                 F.lit(fc).alias("_feat"),
                 F.explode(F.array_distinct(F.col(fc))).alias("_v"),
             )
@@ -49,26 +56,39 @@ def feature_intersection_edges(
     exploded = parts[0]
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
+    blk_keys = ["_blk"] if block_col else []
 
     if inverse_degree:
-        df_ = exploded.groupBy("_feat", "_v").agg(F.count("*").alias("_df"))
-        exploded = exploded.join(df_, ["_feat", "_v"])
+        df_ = exploded.groupBy(*blk_keys, "_feat", "_v").agg(
+            F.count("*").alias("_df")
+        )
+        exploded = exploded.join(df_, [*blk_keys, "_feat", "_v"])
         contrib = F.lit(1.0) / F.col("_df")
     else:
         contrib = F.lit(1.0)
 
     a = exploded.select(
-        F.col("_id").alias("id_a"), "_feat", "_v",
+        F.col("_id").alias("id_a"), *blk_keys, "_feat", "_v",
         *( ["_df"] if inverse_degree else [] ),
     )
-    b = exploded.select(F.col("_id").alias("id_b"), F.col("_feat").alias("_feat_b"), F.col("_v").alias("_v_b"))
-    joined = a.join(
-        b, (a["_feat"] == b["_feat_b"]) & (a["_v"] == b["_v_b"]) & (a["id_a"] < b["id_b"])
+    b = exploded.select(
+        F.col("_id").alias("id_b"),
+        *( [F.col("_blk").alias("_blk_b")] if block_col else [] ),
+        F.col("_feat").alias("_feat_b"),
+        F.col("_v").alias("_v_b"),
     )
-    keys = ["id_a", "id_b"] + (["_feat"] if per_feature else [])
+    cond = (
+        (a["_feat"] == b["_feat_b"]) & (a["_v"] == b["_v_b"]) & (a["id_a"] < b["id_b"])
+    )
+    if block_col:
+        cond = cond & (a["_blk"] == b["_blk_b"])
+    joined = a.join(b, cond)
+    keys = [*blk_keys, "id_a", "id_b"] + (["_feat"] if per_feature else [])
     out = joined.groupBy(*keys).agg(F.sum(contrib).alias("weight"))
     if per_feature:
         out = out.withColumnRenamed("_feat", "feature")
+    if block_col:
+        out = out.withColumnRenamed("_blk", block_col)
     return out
 
 

@@ -5,18 +5,23 @@ of metadata; decode / feature-extract / resize / frame-sample run as Arrow-batch
 ``mapInPandas`` operators so each task streams record batches without ever
 collecting to the driver.
 
-Codec policy (three tiers, decided per row by ``meta.codec``):
+Codec policy (tiers decided per row by ``meta.codec``):
 
 1. ``raw8`` — REAL math, no external codec needed: the payload is raw 8-bit
    grayscale pixels (images: ``width·height`` bytes; video: concatenated
    frames of ``width·height`` bytes each). Decode, histogram features,
    nearest-neighbor resize and frame slicing are genuine numpy kernels with
    golden tests — the full operator path runs end-to-end on raw media.
-2. compressed codecs (png/h264/opus/…) with ``decode_stub=True`` (default) —
-   deterministic sha-seeded fakes, clearly marked: PIL/ffmpeg are NOT in this
-   container, so the fake keeps schema/batching/fan-out identical to a real
-   decode while being stable across runs and partitions.
-3. ``decode_stub=False`` — raise ``NotImplementedError`` at the exact point a
+2. ``png`` — REAL decode with the stdlib only (:func:`_decode_png`: chunk
+   walk + ``zlib`` inflate + numpy unfiltering of all five PNG filter
+   types, 8-bit gray/RGB/RGBA/gray-alpha, RGB reduced by integer BT.601
+   luma). A payload that is not a well-formed supported PNG falls through
+   to tier 3/4 like any other compressed codec.
+3. other compressed codecs (h264/opus/…) with ``decode_stub=True``
+   (default) — deterministic sha-seeded fakes, clearly marked: PIL/ffmpeg
+   are NOT in this container, so the fake keeps schema/batching/fan-out
+   identical to a real decode while being stable across runs and partitions.
+4. ``decode_stub=False`` — raise ``NotImplementedError`` at the exact point a
    real codec plugs in.
 
 Everything Spark-side — schema, batching, partitioning, UDF signatures — is
@@ -26,6 +31,7 @@ identical across the three tiers.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,6 +72,104 @@ def _nn_index(dst_n: int, src_n: int) -> np.ndarray:
     return (2 * d + 1) * src_n // (2 * dst_n)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """Minimal REAL PNG decoder with the stdlib only (no PIL): chunk walk →
+    ``zlib.decompress`` of the IDAT stream → per-scanline unfiltering of all
+    five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6) → (h, w)
+    uint8 grayscale. Supports bit depth 8, color types 0/2/4/6,
+    non-interlaced — the overwhelmingly common layout; RGB(A) reduces by the
+    integer BT.601 luma ``(299R + 587G + 114B + 500) // 1000``; alpha is
+    ignored. Returns None for anything not a well-formed supported PNG, so
+    callers fall through to the stub/plug-point tier exactly as before.
+
+    Row filters Sub/Average/Paeth are sequential along the scanline by
+    definition (each byte depends on the reconstructed byte one pixel left),
+    so those rows run a per-byte loop; Up rows vectorize (uint8 wraparound
+    addition IS the spec's mod-256 arithmetic). A production deploy would
+    swap in an optimized codec here — the point of this tier is that the
+    math, goldens, and downstream histogram/resize path are real.
+    """
+    if not payload or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    bitd = ct = interlace = -1
+    try:
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            pos += 12 + ln  # length + type + data + CRC
+            if typ == b"IHDR":
+                if ln < 13:
+                    return None
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                bitd, ct, interlace = data[8], data[9], data[12]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        ch = _PNG_CHANNELS.get(ct)
+        if not w or not h or bitd != 8 or interlace != 0 or ch is None:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        line = np.frombuffer(raw, np.uint8, stride, rp + 1).copy()
+        rp += stride + 1
+        if f == 0:  # None
+            rec = line
+        elif f == 2:  # Up — vectorized; uint8 wraparound == mod 256
+            rec = line + prev
+        elif f == 1:  # Sub
+            rec = line
+            for x in range(ch, stride):
+                rec[x] = rec[x] + rec[x - ch]
+        elif f == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ch in (1, 2):  # gray / gray+alpha: channel 0 is the luma
+        return px[:, :, 0].copy()
+    rgb = px[:, :, :3].astype(np.uint32)
+    return (
+        (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2] + 500)
+        // 1000
+    ).astype(np.uint8)
+
+
 def _stub_embedding(payload: bytes, dim: int = _EMBED_DIM) -> np.ndarray:
     """Deterministic fake feature vector: bytes → sha256 → unit-norm float vector.
     Stands in for a real image/audio encoder; stable across runs and partitions."""
@@ -94,6 +198,11 @@ def extract_media_features(
             # (image pixels / all video frames / audio PCM alike)
             arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
             return _histogram_embedding(arr, dim).tolist()
+        if codec == "png":
+            # REAL stdlib decode; malformed payloads fall through
+            px = _decode_png(payload)
+            if px is not None:
+                return _histogram_embedding(px, dim).tolist()
         if not decode_stub:
             raise NotImplementedError(
                 "real media decode requires PIL/ffmpeg — plug the codec in here"
@@ -136,12 +245,16 @@ def resize_images(
     ``decode_stub=False``, to the codec plug point."""
 
     def one_resize(payload, meta):
-        if (meta or {}).get("codec") == "raw8":
+        codec = (meta or {}).get("codec")
+        px = None
+        if codec == "raw8":
             px = _raw8_pixels(payload, meta)
-            if px is not None:
-                ri = _nn_index(height, px.shape[0])
-                ci = _nn_index(width, px.shape[1])
-                return px[np.ix_(ri, ci)].tobytes()
+        elif codec == "png":
+            px = _decode_png(payload)  # REAL stdlib decode (grayscale out)
+        if px is not None:
+            ri = _nn_index(height, px.shape[0])
+            ci = _nn_index(width, px.shape[1])
+            return px[np.ix_(ri, ci)].tobytes()
         if not decode_stub:
             raise NotImplementedError("real resize requires an image codec")
         return hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()

@@ -105,6 +105,110 @@ def spectral_labels_block(
     return out
 
 
+def spectral_cluster_blocks_gated(
+    records: DataFrame,
+    feature_cols: list[str],
+    block_col: str = "blocking_key",
+    id_col: str = "unique_id",
+    th: float = 0.5,
+    ftr_th: float = 1.0,
+    graph_node_th: int = 5,
+    vec_start: int = 1,
+    vec_end: int = 4,
+) -> DataFrame:
+    """The reference ``TFIDFFeatrGraphCosineSimilarityCombiner``'s
+    ``graph_node_th`` gate (``am_combiner/combiners/tfidf.py:424-577``):
+    feature-intersection adjacency thresholded at ``ftr_th`` → connected
+    subgraphs; ONLY subgraphs with ≥ ``graph_node_th`` records run the
+    Laplacian eigendecomposition — smaller subgraphs bypass eig entirely and
+    keep their component label, exactly the reference's
+    ``if len(graph) >= self.graph_node_th`` loop.
+
+    Spark form (the distributed re-expression): the subgraphs come from the
+    DISTRIBUTED CC operator over block-scoped intersection edges — no
+    driver-side graph — and the eig kernel runs per (block, big-subgraph)
+    via ``applyInPandas``, so 100 TB scale lives in the number of subgraphs
+    while each eig stays the reference's small dense problem. Output:
+    (unique_id, block, cluster_id) with the engine's min-id labeling; small
+    subgraphs emit their component id unchanged.
+    """
+    from entity_resolution_spark.operators.adjacency import (
+        feature_intersection_edges,
+    )
+    from entity_resolution_spark.operators.components import (
+        connected_components,
+    )
+
+    base = records.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(block_col).cast("string").alias("_blk"),
+        F.flatten(
+            F.array(
+                *[
+                    F.coalesce(F.col(c).cast("array<string>"), F.array())
+                    for c in feature_cols
+                ]
+            )
+        ).alias("_feats"),
+    ).localCheckpoint(eager=True)  # feeds edges + two consumers below
+
+    edges = feature_intersection_edges(
+        base.select(
+            F.col("_id").alias(id_col), F.col("_blk").alias(block_col), "_feats"
+        ),
+        ["_feats"],
+        id_col=id_col,
+        block_col=block_col,
+    ).where(F.col("weight") >= ftr_th)
+    labels = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labeled = (
+        base.join(labels, base["_id"] == labels["id"], "left")
+        .select(
+            "_id", "_blk", "_feats",
+            F.coalesce("component", F.col("_id")).alias("_comp"),
+        )
+    )
+    sizes = labeled.groupBy("_blk", "_comp").agg(F.count("*").alias("_n"))
+    labeled = labeled.join(sizes, ["_blk", "_comp"]).localCheckpoint(eager=True)
+
+    small = labeled.where(F.col("_n") < graph_node_th).select(
+        F.col("_id").alias("unique_id"),
+        F.col("_blk").alias(block_col),
+        F.col("_comp").alias("cluster_id"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("unique_id", T.StringType()),
+            T.StructField(block_col, T.StringType()),
+            T.StructField("cluster_id", T.StringType()),
+        ]
+    )
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].tolist()
+        feats = [
+            [str(v).lower().strip() for v in row if v is not None]
+            for row in pdf["_feats"].tolist()
+        ]
+        labels_ = spectral_labels_block(
+            ids, feats, str(key[0]), th=th, vec_start=vec_start, vec_end=vec_end
+        )
+        rep = pd.Series(ids).groupby(labels_).transform("min")
+        return pd.DataFrame(
+            {"unique_id": ids, block_col: key[0], "cluster_id": rep}
+        )
+
+    big = (
+        labeled.where(F.col("_n") >= graph_node_th)
+        .groupBy("_blk", "_comp")
+        .applyInPandas(fit, out_schema)
+    )
+    return small.unionByName(big)
+
+
 def spectral_cluster_blocks(
     records: DataFrame,
     feature_cols: list[str],

@@ -4,22 +4,59 @@ Generalizes the reference's feature-cache pattern — write processed records, o
 re-run fetch what exists and process only the difference
 (``am_combiner/utils/build_feature_cache.py:77-86``) — to every pipeline stage.
 
-Backend: Parquet directories laid out like Iceberg tables (one dir per stage, a
-``_lineage`` JSON sidecar carrying run_id, stage name, row count, input signature).
-On a cluster with an Iceberg catalog, ``CheckpointStore`` swaps ``df.write.parquet``
-for ``df.writeTo(catalog.table).createOrReplace()`` — the interface is format-
-agnostic and nothing else changes (the Iceberg runtime jar is not in this sandbox,
-so the parquet path is what tests exercise).
+Backends (selected per store, nothing else in the pipeline changes):
+
+- **Parquet** (default): one directory per stage under ``root``, plus a
+  ``_lineage`` JSON sidecar carrying run_id, stage name, row count, input
+  signature. This is what the sandbox tests exercise.
+- **Iceberg** (config-gated — the north rule's "checkpointing ... to
+  Iceberg"): when the session has an Iceberg catalog configured
+  (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``) —
+  or the caller passes ``catalog=`` explicitly — stage writes route through
+  ``df.writeTo(<catalog>.<namespace>.<stage>).createOrReplace()`` and reads
+  through ``spark.read.table``, giving snapshot isolation + atomic replace
+  per stage. The SAME lineage sidecars are kept next to the parquet root so
+  ``has()``/resume semantics are identical across backends, and a parity
+  test (auto-skipped when the Iceberg runtime jar is absent, as it is in
+  this sandbox) asserts both backends reproduce identical clusters.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def detect_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None.
+
+    Scans ``spark.sql.catalog.<name>`` entries (context conf + runtime SET
+    output) for an implementation class mentioning ``iceberg``. Explicitly
+    passing ``catalog=`` to :class:`CheckpointStore` always wins — this is
+    the zero-config convenience for clusters whose session ships one.
+    """
+    pat = re.compile(r"^spark\.sql\.catalog\.([A-Za-z0-9_]+)$")
+    entries: list[tuple[str, str]] = []
+    try:
+        entries.extend(spark.sparkContext.getConf().getAll())
+    except Exception:
+        pass
+    try:
+        entries.extend(
+            (r["key"], r["value"]) for r in spark.sql("SET").collect()
+        )
+    except Exception:
+        pass
+    for k, v in entries:
+        m = pat.match(k)
+        if m and "iceberg" in str(v).lower():
+            return m.group(1)
+    return None
 
 
 @dataclass
@@ -33,18 +70,44 @@ class StageLineage:
 
 
 class CheckpointStore:
-    """Directory of per-stage checkpoints; a stage is reused iff its input signature
-    matches (resume-from-checkpoint mid-pipeline)."""
+    """Directory (or Iceberg namespace) of per-stage checkpoints; a stage is
+    reused iff its input signature matches (resume-from-checkpoint
+    mid-pipeline).
 
-    def __init__(self, spark: SparkSession, root: str, run_id: str = "run0"):
+    ``catalog``: Iceberg catalog name. ``None`` (default) auto-detects via
+    :func:`detect_iceberg_catalog` and falls back to parquet directories when
+    no catalog is configured; pass a name to force the Iceberg backend or
+    ``catalog=""`` to force parquet.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        run_id: str = "run0",
+        catalog: str | None = None,
+        namespace: str = "er_checkpoints",
+    ):
         self.spark = spark
         self.root = root
         self.run_id = run_id
         os.makedirs(root, exist_ok=True)
         self.stage_seconds: dict[str, float] = {}
+        self.catalog = (
+            catalog if catalog is not None else detect_iceberg_catalog(spark)
+        ) or None
+        self.namespace = namespace
+        if self.catalog:
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def _table(self, stage: str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", stage)
+        return f"{self.catalog}.{self.namespace}.{safe}"
 
     def _lineage_path(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}._lineage.json")
@@ -58,6 +121,8 @@ class CheckpointStore:
         return lin.get("input_signature") == input_signature
 
     def read(self, stage: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self._dir(stage))
 
     def write(self, stage: str, df: DataFrame, input_signature: str = "") -> DataFrame:
@@ -70,10 +135,16 @@ class CheckpointStore:
         # lineage sidecar pointing `has()` at a corrupt/partial directory —
         # the resume would silently read it. With the sidecar gone first, any
         # interrupted write simply recomputes the stage on the next run.
+        # (The Iceberg path's createOrReplace is atomic on its own, but the
+        # sidecar ordering keeps `has()` honest about interrupted runs there
+        # too — lineage only exists for fully committed stages.)
         lp = self._lineage_path(stage)
         if os.path.exists(lp):
             os.remove(lp)
-        df.write.mode("overwrite").parquet(self._dir(stage))
+        if self.catalog:
+            df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self._dir(stage))
         wall = time.monotonic() - t0
         out = self.read(stage)
         rows = out.count()

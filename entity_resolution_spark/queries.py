@@ -337,11 +337,68 @@ def _lang_id_sql_case() -> str:
 SQL_LANG_ID_DOCS = _lang_id_sql_case()
 
 
+# Session-scoped memo for the exact-jaccard subtree (VERDICT r3 #7): the
+# ≥0.6 PPJoin edge graph and its connected components feed THREE registered
+# queries (jaccard_pairs, cc_jaccard, dedup_survivors) — ~30s of the 78s r3
+# bench was one subtree computed three times. Frames are eagerly
+# localCheckpoint'ed (ContextCleaner-reclaimable) and keyed by the live
+# SparkContext + (sf_dir, params), so a restarted session never sees stale
+# frames and repeated bench iterations share one materialization.
+_jaccard_memo: dict[tuple, DataFrame] = {}
+
+
+def clear_session_memo() -> None:
+    """Drop every session-scoped shared frame. Bench honesty hook: bench.py
+    calls this at the start of each timing pass, so a pass pays each shared
+    subtree's build cost exactly once — in its FIRST consumer — instead of
+    min-of-passes silently reporting only memo hits. The localCheckpoint
+    blocks behind the dropped references are reclaimed by the
+    ContextCleaner."""
+    _jaccard_memo.clear()
+
+
+def _jaccard_edges_docs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, ngram: int = 1
+) -> DataFrame:
+    key = ("edges", id(spark.sparkContext), sf_dir, threshold, ngram)
+    df = _jaccard_memo.get(key)
+    if df is None:
+        d = _t(spark, sf_dir, "documents")
+        df = jaccard_pairs(
+            d, "doc_id", "text", "lang", threshold=threshold, ngram=ngram
+        ).localCheckpoint(eager=True)
+        _jaccard_memo[key] = df
+    return df
+
+
+def _cc_jaccard_labels_docs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    key = ("cc", id(spark.sparkContext), sf_dir, threshold)
+    df = _jaccard_memo.get(key)
+    if df is None:
+        d = _t(spark, sf_dir, "documents")
+        edges = _jaccard_edges_docs(spark, sf_dir, threshold)
+        labels = connected_components(
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        df = (
+            d.select(F.col("doc_id").alias("id"))
+            .join(labels, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _jaccard_memo[key] = df
+    return df
+
+
 def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        d, "doc_id", "text", "lang", threshold=0.6, ngram=1
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _jaccard_edges_docs(spark, sf_dir).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 SQL_JACCARD_PAIRS_DOCS = """
@@ -362,20 +419,10 @@ WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
 
 def q_cc_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the ≥0.6-jaccard graph — the transitive-closure
-    core, oracled by a recursive-CTE reachability query in DuckDB."""
-    d = _t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.6, ngram=1)
-    labels = connected_components(
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    return (
-        d.select(F.col("doc_id").alias("id"))
-        .join(labels, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.coalesce("component", F.col("id")).alias("component"),
-        )
-    )
+    core, oracled by a recursive-CTE reachability query in DuckDB. Shares the
+    edge + label frames with jaccard_pairs/dedup_survivors via the
+    session-scoped memo above."""
+    return _cc_jaccard_labels_docs(spark, sf_dir)
 
 
 SQL_CC_JACCARD_DOCS = """
@@ -558,9 +605,16 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: full ER pipeline over documents adapted to the mandated input
-    shape (repo=source, path=doc_id.txt, commit=doc_id, lang=lang, content=text)."""
+    shape (repo=source, path=doc_id.txt, commit=doc_id, lang=lang, content=text).
+    The resolved cluster frame is memoized per session (shared with the
+    ``er_resolve_f1_docs`` confusion-count gate — same honesty rule as the
+    jaccard memo: bench clears it per pass)."""
     from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
 
+    key = ("er_clusters", id(spark.sparkContext), sf_dir)
+    memo = _jaccard_memo.get(key)
+    if memo is not None:
+        return memo
     d = _t(spark, sf_dir, "documents")
     repo_files = d.select(
         F.col("source").alias("repo"),
@@ -580,6 +634,7 @@ def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     release(out)
+    _jaccard_memo[key] = result
     return result
 
 

@@ -99,6 +99,86 @@ def test_concurrent_stage_submission_identical_clusters(spark):
     assert outs[0] == outs[1]
 
 
+def test_iceberg_backend_parity(spark, tmp_path):
+    """Config-gated Iceberg backend (north rule: "checkpointing ... to
+    Iceberg"): with an Iceberg catalog configured, stage writes route through
+    writeTo(...).createOrReplace() and the resolved clusters must be
+    IDENTICAL to the parquet backend's. Auto-skips when the Iceberg runtime
+    jar is absent (as in this sandbox) — the fallback path is what every
+    other checkpoint test exercises."""
+    import pytest
+
+    from entity_resolution_spark.plans.checkpoint import (
+        CheckpointStore,
+        detect_iceberg_catalog,
+    )
+    from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
+    from entity_resolution_spark.synth.generator import SynthConfig, corpus_dataframes
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("Iceberg runtime jar not on the classpath")
+    spark.conf.set(
+        "spark.sql.catalog.ckpt_test", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.ckpt_test.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.ckpt_test.warehouse", str(tmp_path / "warehouse")
+    )
+    try:
+        assert detect_iceberg_catalog(spark) == "ckpt_test"
+
+        rf, _, _ = corpus_dataframes(spark, SynthConfig(seed=11, n_entities=15))
+
+        def _clusters(store):
+            out = resolve(spark, rf, PipelineConfig(), store=store)
+            return sorted(
+                (r["unique_id"], r["cluster_rep"])
+                for r in out["clusters"].collect()
+            )
+
+        pq = _clusters(
+            CheckpointStore(spark, str(tmp_path / "pq"), catalog="")
+        )
+        ice_store = CheckpointStore(
+            spark, str(tmp_path / "ice"), catalog="ckpt_test"
+        )
+        ice = _clusters(ice_store)
+        assert pq == ice
+        # the stages really landed as catalog tables
+        tables = {
+            r["tableName"]
+            for r in spark.sql(
+                "SHOW TABLES IN ckpt_test.er_checkpoints"
+            ).collect()
+        }
+        assert "clusters" in tables
+    finally:
+        for k in (
+            "spark.sql.catalog.ckpt_test",
+            "spark.sql.catalog.ckpt_test.type",
+            "spark.sql.catalog.ckpt_test.warehouse",
+        ):
+            spark.conf.unset(k)
+
+
+def test_parquet_fallback_without_catalog(spark, tmp_path):
+    """No Iceberg catalog configured → detect returns None and the store
+    stays on parquet (the sandbox default every resume test runs on)."""
+    from entity_resolution_spark.plans.checkpoint import (
+        CheckpointStore,
+        detect_iceberg_catalog,
+    )
+
+    if detect_iceberg_catalog(spark) is not None:
+        import pytest
+
+        pytest.skip("session carries a real Iceberg catalog config")
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    assert store.catalog is None
+
+
 def test_interrupted_rewrite_invalidates_stale_checkpoint(spark, tmp_path):
     """A crash mid-overwrite must not leave `has()` pointing at the stage it
     was replacing: the lineage sidecar is removed before the parquet overwrite

@@ -112,3 +112,140 @@ def test_raw8_features_are_real_histograms(spark):
     )
     emb = extract_media_features(const).collect()[0]["embedding"]
     assert emb[-1] == 1.0 and sum(emb[:-1]) == 0.0
+
+
+# --- PNG tier (REAL stdlib decode) -----------------------------------------
+
+
+def _encode_png(px, color_type=0, filters=None):
+    """Minimal PNG ENCODER for the goldens: forward-filters each scanline
+    with a chosen filter type (None/Sub/Up/Average/Paeth — the spec's §6
+    forward transforms, the independent inverse of the decoder under test),
+    deflates, and frames the IHDR/IDAT/IEND chunks with real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        enc = np.empty(stride, np.int64)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_pixel_golden_all_filters():
+    """Round-trip golden: every PNG filter type must reconstruct the exact
+    pixel matrix (the encoder applies the spec's forward transforms — the
+    independent inverse of the decoder's unfiltering)."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        got = _decode_png(_encode_png(px, 0, filters))
+        assert got is not None and (got == px).all(), filters
+
+
+def test_png_decode_rgb_luma_and_malformed():
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import _decode_png
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[1, 0] = (0, 0, 255)
+    rgb[1, 1] = (10, 20, 30)
+    got = _decode_png(_encode_png(rgb, 2, [4, 3]))
+    # integer BT.601 luma: (299R + 587G + 114B + 500) // 1000
+    exp = np.array(
+        [
+            [(299 * 255 + 500) // 1000, (587 * 255 + 500) // 1000],
+            [(114 * 255 + 500) // 1000,
+             (299 * 10 + 587 * 20 + 114 * 30 + 500) // 1000],
+        ],
+        np.uint8,
+    )
+    assert (got == exp).all()
+    assert _decode_png(b"not a png at all") is None
+    assert _decode_png(b"") is None
+
+
+def test_png_features_and_resize_share_raw8_path(spark):
+    """A real PNG must ride the SAME histogram/resize kernels as raw8 —
+    identical embedding and identical resized bytes for identical pixels —
+    and must NOT raise with decode_stub=False (it is a real tier now)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(6, 8), dtype=np.uint8)
+    schema = (
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    media = spark.createDataFrame(
+        [
+            ("png0", "image", _encode_png(px, 0, [0, 1, 2, 3, 4, 2]),
+             {"width": 8, "height": 6, "duration_ms": None, "codec": "png"}),
+            ("raw0", "image", px.tobytes(),
+             {"width": 8, "height": 6, "duration_ms": None, "codec": "raw8"}),
+        ],
+        schema,
+    )
+    feats = {
+        r["media_id"]: r["embedding"]
+        for r in extract_media_features(media, decode_stub=False).collect()
+    }
+    assert feats["png0"] == feats["raw0"]
+    sizes = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media, 4, 3, decode_stub=False).collect()
+    }
+    assert sizes["png0"] == sizes["raw0"]
+    assert len(sizes["png0"]) == 12
