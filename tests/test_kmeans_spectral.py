@@ -143,3 +143,78 @@ def test_spectral_order_invariant():
             groups.setdefault(lab, set()).add(i)
         return sorted(map(frozenset, groups.values()), key=sorted)
     assert partition(ids, l_fwd) == partition(ids[::-1], l_rev)
+
+
+def test_spectral_gated_graph_node_th(spark):
+    """TFIDFFeatrGraphCosineSimilarityCombiner's graph_node_th gate
+    (combiners/tfidf.py:424-577): feature-intersection CC subgraphs with
+    >= graph_node_th records run the eig kernel and must match the ungated
+    spectral output on that subgraph; SMALLER subgraphs bypass eig and keep
+    their component label whole — even when their features would split
+    under the spectral kernel."""
+    from entity_resolution_spark.operators.spectral import (
+        spectral_cluster_blocks_gated,
+        spectral_labels_block,
+    )
+
+    # big subgraph (6 records, chained through 'bridge' values so the
+    # ftr-adjacency connects them into ONE component, but spectral splits
+    # the two 3-record communities)
+    big = [
+        ("a1", ["imp_requests", "imp_flask", "bridge"]),
+        ("a2", ["imp_requests", "imp_flask"]),
+        ("a3", ["imp_requests", "imp_flask"]),
+        ("a4", ["imp_numpy", "imp_torch", "bridge"]),
+        ("a5", ["imp_numpy", "imp_torch"]),
+        ("a6", ["imp_numpy", "imp_torch"]),
+    ]
+    # small subgraph (2 records): features that the SPECTRAL kernel would
+    # split (no shared non-hapax value except the pair link), but the gate
+    # must keep them whole at their component label without running eig
+    small = [
+        ("z1", ["pair_link", "imp_pandas"]),
+        ("z2", ["pair_link", "imp_sklearn"]),
+    ]
+    rows = [(i, "blk", f) for i, f in big + small]
+    df = spark.createDataFrame(rows, ["unique_id", "blocking_key", "imports"])
+    out = {
+        r["unique_id"]: r["cluster_id"]
+        for r in spectral_cluster_blocks_gated(
+            df, ["imports"], th=0.5, ftr_th=1.0, graph_node_th=5
+        ).collect()
+    }
+    # small subgraph: bypassed -> one whole cluster at the min id
+    assert out["z1"] == out["z2"] == "z1"
+    # big subgraph: must equal the ungated kernel's labels on those 6 records
+    ids = [i for i, _ in big]
+    feats = [f for _, f in big]
+    kern = spectral_labels_block(ids, feats, "blk", th=0.5)
+    kern_rep = {}
+    for i, lbl in zip(ids, kern):
+        kern_rep.setdefault(lbl, i)
+    expect = {i: kern_rep[lbl] for i, lbl in zip(ids, kern)}
+    assert {i: out[i] for i in ids} == expect
+    # and the gate really did split the big subgraph (eig ran there)
+    assert out["a1"] != out["a4"]
+
+
+def test_spectral_gated_all_small_never_eigs(spark):
+    """Every subgraph under the threshold -> output is exactly the CC labels
+    (the pure bypass path)."""
+    from entity_resolution_spark.operators.spectral import (
+        spectral_cluster_blocks_gated,
+    )
+
+    rows = [
+        ("u1", "blk", ["x"]),
+        ("u2", "blk", ["x"]),
+        ("u3", "blk", ["y"]),
+    ]
+    df = spark.createDataFrame(rows, ["unique_id", "blocking_key", "imports"])
+    out = {
+        r["unique_id"]: r["cluster_id"]
+        for r in spectral_cluster_blocks_gated(
+            df, ["imports"], graph_node_th=5
+        ).collect()
+    }
+    assert out == {"u1": "u1", "u2": "u1", "u3": "u3"}
