@@ -144,7 +144,6 @@ def gcn_resolve(
     to npz/parquet); defaults to the seeded Glorot init.
     """
     from entity_resolution_spark.operators.adjacency import feature_intersection_edges
-    from entity_resolution_spark.operators.components import connected_components
 
     # deterministic feature width: max size over NON-NULL rows (a .first()
     # would be partition-order-dependent and yields -1 on a null feature row)
@@ -173,8 +172,19 @@ def gcn_resolve(
         ),
         weights["w_self"],
         weights["w_neigh"],
-    ).persist()
+    )
+    return _cosine_threshold_cc(records, emb, id_col, th)
 
+
+def _cosine_threshold_cc(
+    records: DataFrame, emb: DataFrame, id_col: str, th: float
+) -> DataFrame:
+    """Shared tail of the GCN combiners (ml.py:160-209): L2-normalized
+    all-pairs cosine > th (+0.02 above 400 records) → CC → min-id labels,
+    singletons for nodes without an embedding or with a zero-norm one."""
+    from entity_resolution_spark.operators.components import connected_components
+
+    emb = emb.persist()
     n = emb.count()
     eff_th = th + (LARGE_CLUSTER_TH_BUMP_UP if n > LARGE_CLUSTER_LIMIT else 0.0)
 
@@ -210,3 +220,84 @@ def gcn_resolve(
     )
     emb.unpersist()
     return out
+
+
+def gcn_hetero_resolve(
+    records: DataFrame,
+    feature_cols: list[str],
+    node_feat_col: str,
+    id_col: str = "unique_id",
+    weights: dict[str, dict[str, np.ndarray]] | None = None,
+    th: float = 0.5,
+    rep_dim: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Reference ``GCNHeteroCombiner`` (ml.py:212-234; ``HeteroGCN``
+    ml.py:46-62; ``articles_to_hetero_graph`` features/nn/common.py:111-170):
+    ONE SAGEConv(mean aggregator, ReLU) per feature EDGE TYPE over that
+    feature's intersection adjacency, per-type outputs combined with
+    ``HeteroGraphConv(aggregate="mean")`` — an elementwise mean over the
+    type outputs for every node — then the same cosine/threshold/CC tail as
+    the homogeneous combiner.
+
+    ``weights``: {feature_col: {"w_self", "w_neigh"}} (a trained HeteroGCN
+    exported per-type, the S3-model analog); defaults to per-type seeded
+    Glorot inits. Divergences, documented not replicated: the reference's
+    empty-graph hack (a synthetic self-loop when every adjacency is empty,
+    common.py:138-143) is unnecessary here — an edgeless type simply
+    contributes its self-term only; and the weighted-mean vs DGL in-degree
+    division note on :func:`sage_layer` applies per type.
+
+    Scale shape: the per-type layers are independent narrow subplans over
+    the SAME exploded feature frame (one posting join each, bounded by that
+    feature's posting lists); the cross-type mean is one groupBy over
+    (node, dim) — nodes × rep_dim × |types| rows, no pairs anywhere before
+    the cosine stage.
+    """
+    from entity_resolution_spark.operators.adjacency import feature_intersection_edges
+
+    first = records.agg(
+        F.max(F.size(F.col(node_feat_col).cast("array<double>"))).alias("d")
+    ).first()
+    if first is None or first["d"] is None or first["d"] <= 0:
+        return records.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.lit(None).cast("string").alias("cluster_id"),
+        )
+    in_dim = int(first["d"])
+
+    edges_pf = feature_intersection_edges(
+        records, feature_cols, id_col=id_col, per_feature=True
+    ).localCheckpoint(eager=True)  # |types| consumers of one posting join
+    feats = records.where(
+        F.size(F.col(node_feat_col).cast("array<double>")) == in_dim
+    ).select(F.col(id_col).alias("id"), F.col(node_feat_col).alias("features"))
+
+    per_type = []
+    for i, fc in enumerate(feature_cols):
+        w = (
+            weights[fc]
+            if weights is not None
+            else glorot_weights(in_dim, rep_dim, seed=seed + i)
+        )
+        e = edges_pf.where(F.col("feature") == fc).select(
+            "id_a", "id_b", "weight"
+        )
+        per_type.append(
+            sage_layer(
+                e, feats, w["w_self"], w["w_neigh"],
+                leaky_alpha=0.0,  # HeteroGCN uses plain ReLU (ml.py:55)
+            )
+        )
+    stacked = per_type[0]
+    for t in per_type[1:]:
+        stacked = stacked.unionByName(t)
+    mean_emb = (
+        stacked.select("id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("id", "pos")
+        .agg(F.avg("val").alias("val"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_pv"))
+        .select("id", F.transform("_pv", lambda s: s["val"]).alias("embedding"))
+    )
+    return _cosine_threshold_cc(records, mean_emb, id_col, th)
