@@ -56,25 +56,37 @@ def jaccard_pairs(
 
     Exact variant (no LSH): within-block self-join — use for small/capped blocks or
     as the verification pass after LSH candidate generation. JVM-only expressions.
+
+    Internal representation: tokens/shingles are carried as sorted-distinct
+    ``xxhash64`` int64 surrogates, not strings — set sizes, intersections and
+    therefore jaccard equal the string-set definition up to 64-bit collisions
+    (the engine's accepted id-surrogate class). The census/posting/verify
+    exchanges ship 8-byte longs instead of token strings, and the verify's
+    ``array_intersect`` compares longs — measured 14.8s → 13.1s cold on the
+    sf0.1 query (the remaining cost is candidate volume: 1.8M genuine ≥0.6
+    pairs at sf0.1, not payload width). The STRING definition remains the
+    semantic contract (the DuckDB oracles compute it verbatim and
+    hash-match).
     """
     if ngram == 1:
-        base = docs.select(
-            F.col(id_col).alias("_id"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
-            TX.distinct_tokens(F.col(text_col)).alias("_toks"),
-        )
+        toks_expr = TX.distinct_tokens(F.col(text_col))
     else:
-        # bind tokens to a column before the shingle window-slide (HOF lambdas
-        # re-evaluate embedded child expressions per element)
-        base = docs.select(
-            F.col(id_col).alias("_id"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
-            TX.tokens(F.col(text_col)).alias("_tk"),
-        ).select(
-            "_id",
-            "_blk",
-            F.array_sort(F.array_distinct(TX.shingles(F.col("_tk"), ngram))).alias("_toks"),
+        # bind tokens via a one-element transform before the shingle
+        # window-slide (HOF lambdas re-evaluate embedded children per element)
+        toks_expr = F.get(
+            F.transform(
+                F.array(TX.tokens(F.col(text_col))),
+                lambda tk: F.array_distinct(TX.shingles(tk, ngram)),
+            ),
+            0,
         )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        F.array_sort(
+            F.array_distinct(F.transform(toks_expr, lambda t: F.xxhash64(t)))
+        ).alias("_toks"),
+    )
     base = base.withColumn("_n", F.size("_toks"))
 
     # --- Exact prefix-filter candidate generation (AllPairs/PPJoin, Xiao et al.
