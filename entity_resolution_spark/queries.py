@@ -342,8 +342,9 @@ SQL_LANG_ID_DOCS = _lang_id_sql_case()
 # queries (jaccard_pairs, cc_jaccard, dedup_survivors) — ~30s of the 78s r3
 # bench was one subtree computed three times. Frames are eagerly
 # localCheckpoint'ed (ContextCleaner-reclaimable) and keyed by the live
-# SparkContext + (sf_dir, params), so a restarted session never sees stale
-# frames and repeated bench iterations share one materialization.
+# SparkContext's applicationId + (sf_dir, params) — unique per context, so a
+# restarted session never sees stale frames (an id()-based key could alias
+# after GC) and repeated bench iterations share one materialization.
 _jaccard_memo: dict[tuple, DataFrame] = {}
 
 
@@ -360,7 +361,7 @@ def clear_session_memo() -> None:
 def _jaccard_edges_docs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.6, ngram: int = 1
 ) -> DataFrame:
-    key = ("edges", id(spark.sparkContext), sf_dir, threshold, ngram)
+    key = ("edges", spark.sparkContext.applicationId, sf_dir, threshold, ngram)
     df = _jaccard_memo.get(key)
     if df is None:
         d = _t(spark, sf_dir, "documents")
@@ -374,7 +375,7 @@ def _jaccard_edges_docs(
 def _cc_jaccard_labels_docs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.6
 ) -> DataFrame:
-    key = ("cc", id(spark.sparkContext), sf_dir, threshold)
+    key = ("cc", spark.sparkContext.applicationId, sf_dir, threshold)
     df = _jaccard_memo.get(key)
     if df is None:
         d = _t(spark, sf_dir, "documents")
@@ -611,7 +612,7 @@ def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard memo: bench clears it per pass)."""
     from entity_resolution_spark.plans.pipeline import PipelineConfig, resolve
 
-    key = ("er_clusters", id(spark.sparkContext), sf_dir)
+    key = ("er_clusters", spark.sparkContext.applicationId, sf_dir)
     memo = _jaccard_memo.get(key)
     if memo is not None:
         return memo
