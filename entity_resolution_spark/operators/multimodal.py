@@ -137,10 +137,11 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
             rec = line
         elif f == 2:  # Up — vectorized; uint8 wraparound == mod 256
             rec = line + prev
-        elif f == 1:  # Sub
+        elif f == 1:  # Sub (int arithmetic masked to the spec's mod 256 —
+            # uint8 scalar wraparound is correct too but numpy warns on it)
             rec = line
             for x in range(ch, stride):
-                rec[x] = rec[x] + rec[x - ch]
+                rec[x] = (int(rec[x]) + int(rec[x - ch])) & 0xFF
         elif f == 3:  # Average
             rec = line
             for x in range(stride):
