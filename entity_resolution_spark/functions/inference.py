@@ -18,6 +18,16 @@ semantics documented against its source:
   vectorized kernel emits NULL instead (a raise would kill the whole Arrow
   batch — callers filter ``isNotNull`` exactly like they filter the
   reference's error rows).
+- :func:`profession_mentions` ↔ ``ProfessionVisitor`` /
+  ``ProfessionFeatureExtractor`` (``am_combiner/features/profession.py``):
+  sentences containing an entity-name token are scanned for noun chunks
+  whose root dependency is ``nsubj`` (chunk must also mention a name token
+  and an occupation word) or ``appos`` (occupation word only). Documented
+  divergences: the document is parsed ONCE (the reference re-parses each
+  kept sentence as its own doc — an accident of its notebook shape that can
+  shift dependency labels at sentence boundaries), and matches emit in
+  chunk order rather than all-nsubj-then-all-appos per sentence. The
+  lexicon-only analog (no parser needed) lives in ``functions/text.py``.
 
 Model-cache discipline: Python workers are forked per executor and REUSED
 across batches, so a module-level cache keyed by model name loads each model
@@ -135,6 +145,40 @@ def sentence_embeddings_batch(
     return pd.Series(out, dtype=object)
 
 
+def profession_mentions_batch(
+    texts: pd.Series,
+    names: pd.Series,
+    occupations: tuple[str, ...],
+    model_name: str = "en_core_web_sm",
+) -> pd.Series:
+    """Per-document profession noun chunks (see module docstring for the
+    reference mapping and divergences). One ``nlp.pipe`` pass per batch."""
+    nlp = _load_spacy(model_name)
+    occ = [o.lower() for o in occupations]
+    out: list[list[str]] = []
+    docs = nlp.pipe(
+        (t[:MAX_ARTICLE_LEN] if t else "" for t in texts), batch_size=64
+    )
+    for doc, name in zip(docs, names):
+        words = (name or "").split()
+        profs: list[str] = []
+        for chunk in doc.noun_chunks:
+            if not any(w in chunk.sent.text for w in words):
+                continue  # the check_words sentence gate
+            ctext = chunk.text
+            clower = ctext.lower()
+            if (
+                chunk.root.dep_ == "nsubj"
+                and any(w in ctext for w in words)
+                and any(o in clower for o in occ)
+            ):
+                profs.append(ctext)
+            elif chunk.root.dep_ == "appos" and any(o in clower for o in occ):
+                profs.append(ctext)
+        out.append(profs)
+    return pd.Series(out, dtype=object)
+
+
 _udf_cache: dict[tuple, object] = {}
 
 
@@ -164,3 +208,23 @@ def sentence_embeddings(sentences, model_name: str = "bert-base-nli-max-tokens")
 
         _udf_cache[key] = F.pandas_udf("array<float>")(_fn)
     return _udf_cache[key](sentences)
+
+
+def profession_mentions(
+    text,
+    entity_name,
+    occupations: tuple[str, ...],
+    model_name: str = "en_core_web_sm",
+):
+    """array<string> profession-chunk column — the distributed
+    ``ProfessionVisitor`` (occupation lexicon baked into the UDF closure,
+    the CSV-load analog)."""
+    key = ("prof", model_name, tuple(occupations))
+    if key not in _udf_cache:
+        def _fn(texts: pd.Series, names: pd.Series) -> pd.Series:
+            return profession_mentions_batch(
+                texts, names, tuple(occupations), model_name
+            )
+
+        _udf_cache[key] = F.pandas_udf("array<string>")(_fn)
+    return _udf_cache[key](text, entity_name)

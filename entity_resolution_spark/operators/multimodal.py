@@ -17,6 +17,9 @@ Codec policy (tiers decided per row by ``meta.codec``):
    types, 8-bit gray/RGB/RGBA/gray-alpha, RGB reduced by integer BT.601
    luma). A payload that is not a well-formed supported PNG falls through
    to tier 3/4 like any other compressed codec.
+   ``wav`` — REAL decode via the stdlib ``wave`` module
+   (:func:`_decode_wav`: RIFF/WAVE PCM, 8/16/32-bit widths mapped to the
+   8-bit sample domain), feeding the same histogram-feature kernel.
 3. other compressed codecs (h264/opus/…) with ``decode_stub=True``
    (default) — deterministic sha-seeded fakes, clearly marked: PIL/ffmpeg
    are NOT in this container, so the fake keeps schema/batching/fan-out
@@ -171,6 +174,34 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     ).astype(np.uint8)
 
 
+def _decode_wav(payload: bytes) -> np.ndarray | None:
+    """REAL PCM WAV decode with the stdlib ``wave`` module: returns the raw
+    samples mapped to uint8 (8-bit unsigned PCM as-is; 16/32-bit signed PCM
+    by high byte + 128 — the standard 8-bit requantization), channels
+    interleaved. None for anything ``wave`` can't parse (compressed WAVs,
+    truncated payloads), so callers fall through to the stub tier."""
+    import io
+    import wave
+
+    if not payload:
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 1:
+        return np.frombuffer(frames, np.uint8).copy()
+    if width == 2:
+        s = np.frombuffer(frames, "<i2")
+        return ((s.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    if width == 4:
+        s = np.frombuffer(frames, "<i4")
+        return ((s >> 24) + 128).astype(np.uint8)
+    return None
+
+
 def _stub_embedding(payload: bytes, dim: int = _EMBED_DIM) -> np.ndarray:
     """Deterministic fake feature vector: bytes → sha256 → unit-norm float vector.
     Stands in for a real image/audio encoder; stable across runs and partitions."""
@@ -204,6 +235,10 @@ def extract_media_features(
             px = _decode_png(payload)
             if px is not None:
                 return _histogram_embedding(px, dim).tolist()
+        if codec == "wav":
+            samples = _decode_wav(payload)
+            if samples is not None and len(samples):
+                return _histogram_embedding(samples, dim).tolist()
         if not decode_stub:
             raise NotImplementedError(
                 "real media decode requires PIL/ffmpeg — plug the codec in here"

@@ -112,3 +112,40 @@ def test_embeddings_mean_with_fake_model():
         assert out[1] == [1.0, 1.0]
     finally:
         inference._MODEL_CACHE.pop(("st", "fake2"), None)
+
+
+def test_profession_raises_clear_importerror_without_spacy():
+    from entity_resolution_spark.functions import inference
+
+    try:
+        import spacy  # noqa: F401
+
+        pytest.skip("spaCy installed — covered by the real-model test")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="SpacyArticleVisitor plug point"):
+        inference.profession_mentions_batch(
+            pd.Series(["John Smith, a famous lawyer, said..."]),
+            pd.Series(["John Smith"]),
+            ("lawyer",),
+        )
+
+
+def test_profession_real_model(spark):
+    pytest.importorskip("spacy")
+    from entity_resolution_spark.functions.inference import profession_mentions
+
+    try:
+        import spacy
+
+        spacy.load("en_core_web_sm")
+    except Exception:
+        pytest.skip("en_core_web_sm model not downloaded")
+    df = spark.createDataFrame(
+        [("d1", "John Smith, a corrupt lawyer, was arrested.", "John Smith")],
+        "id string, text string, name string",
+    )
+    row = df.select(
+        profession_mentions("text", "name", ("lawyer", "doctor")).alias("p")
+    ).collect()[0]["p"]
+    assert any("lawyer" in c.lower() for c in row)

@@ -249,3 +249,59 @@ def test_png_features_and_resize_share_raw8_path(spark):
     }
     assert sizes["png0"] == sizes["raw0"]
     assert len(sizes["png0"]) == 12
+
+
+# --- WAV tier (REAL stdlib decode) ----------------------------------------
+
+
+def _encode_wav(samples_i16, framerate=16000, channels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.asarray(samples_i16, "<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_and_histogram_features(spark):
+    """A PCM WAV must decode for real (high byte + 128 requantization) and
+    ride the SAME histogram kernel as raw8 — identical embedding to a raw8
+    payload carrying the requantized samples; no raise at decode_stub=False."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-32768, 32767, size=512, dtype=np.int16)
+    req = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    schema = (
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    media = spark.createDataFrame(
+        [
+            ("wav0", "audio", _encode_wav(samples),
+             {"width": None, "height": None, "duration_ms": 32, "codec": "wav"}),
+            ("raw0", "audio", req.tobytes(),
+             {"width": None, "height": None, "duration_ms": 32, "codec": "raw8"}),
+            ("bad0", "audio", b"RIFFnot really a wav",
+             {"width": None, "height": None, "duration_ms": 32, "codec": "wav"}),
+        ],
+        schema,
+    )
+    feats = {
+        r["media_id"]: r["embedding"]
+        for r in extract_media_features(media).collect()
+    }
+    assert feats["wav0"] == feats["raw0"]
+    # malformed wav falls to the deterministic stub, still unit-norm
+    assert abs(sum(x * x for x in feats["bad0"]) - 1.0) < 1e-9
+    # decode_stub=False: the REAL wav row must not raise
+    ok = extract_media_features(
+        media.where("media_id = 'wav0'"), decode_stub=False
+    ).collect()
+    assert len(ok) == 1
