@@ -74,6 +74,7 @@ HEADLINE = [
     "preprocess_docs",
     "c4_clean_docs",
     "gopher_quality_docs",
+    "line_dedup_docs",
 ]
 
 

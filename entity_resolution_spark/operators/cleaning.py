@@ -72,3 +72,75 @@ def c4_clean(
             ),
         )
     )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-WIDE duplicate-line removal — the across-dataset half of C4
+    §2.2 ("we discarded all but one of any ... span occurring more than once
+    in the data set") at line granularity, the line-dedup pass RefinedWeb /
+    Dolma run before document-level near-dedup. A line whose TRIMMED text
+    occurs ``min_count``-or-more times anywhere in the corpus is dropped
+    from every document — except, with ``keep_first``, at its one canonical
+    first occurrence (minimum (id, line position) — Spark struct ordering,
+    mirrored by the oracle's ``row_number() OVER (ORDER BY id, pos)``).
+    Empty/whitespace-only lines always drop. Kept lines are re-joined in
+    original order with their ORIGINAL (untrimmed) text.
+
+    Output: (id, n_lines, n_kept_lines, clean_text) — one row per input doc,
+    ``clean_text`` NULL when nothing survives. All counts bigint.
+
+    Scale shape (the 100 TB argument): one explode → ONE census shuffle on
+    ``xxhash64(trimmed line)`` (map-side combining count + min-occurrence) →
+    one hash join back on the 8-byte key → per-doc reassembly as a sorted
+    collect over (doc, pos). Line text crosses the census exchange only as
+    its hash; the corpus is never self-joined. Equality-by-hash is the
+    engine's accepted 64-bit surrogate class; the DuckDB oracle censuses the
+    STRING lines and hash-matches.
+    """
+    lines = F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), "\n")
+    base = docs.select(
+        F.col(id_col).alias("_id"), lines.alias("_ls")
+    ).localCheckpoint(eager=True)  # feeds the census AND the n_lines join
+    ex = (
+        base.select("_id", F.posexplode("_ls").alias("_pos", "_ln"))
+        .withColumn("_t", F.trim("_ln"))
+        .where(F.col("_t") != "")
+        .withColumn("_k", F.xxhash64("_t"))
+    )
+    census = ex.groupBy("_k").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    )
+    keep = F.col("_cnt") < min_count
+    if keep_first:
+        keep = keep | (F.struct("_id", "_pos") == F.col("_first"))
+    kept = (
+        ex.join(census.hint("shuffle_hash"), "_k")
+        .where(keep)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                    lambda s: s["_ln"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_ls").cast("long").alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+            "clean_text",
+        )
+    )

@@ -2217,6 +2217,72 @@ FROM kept
 """
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (``cleaning.corpus_line_dedup`` —
+    the across-dataset half of C4 §2.2 at line granularity; RefinedWeb/Dolma
+    run the same pass before document near-dedup). Line structure is
+    synthesized deterministically on BOTH engines (newline after every 7th
+    token), and doc_id%3=0 pages get a constant boilerplate header line so
+    the corpus-wide rule provably fires: every copy but the first
+    (min (doc_id, pos)) must drop. Near-dup document families make many
+    ORGANIC 7-token lines collide across docs too — the census is the thing
+    under test, not just the planted header."""
+    from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    t0 = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"((?:[^ ]+ ){6}[^ ]+) ", "$1\n"
+    )
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("boilerplate footer line\n"), t0),
+    ).otherwise(t0)
+    return corpus_line_dedup(
+        d.select("doc_id", t.alias("text")), min_count=2
+    ).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP_DOCS = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '((?:[^ ]+ ){6}[^ ]+) ',
+                        '\1' || chr(10), 'g') AS t0
+  FROM documents
+), aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'boilerplate footer line' || chr(10) || t0
+              ELSE t0 END AS t
+  FROM lined
+), ls AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM aug
+), ex AS (
+  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM ls
+), ne AS (
+  SELECT doc_id, pos, l[pos] AS ln, trim(l[pos]) AS tln
+  FROM ex
+  WHERE trim(l[pos]) <> ''
+), marked AS (
+  SELECT doc_id, pos, ln,
+         COUNT(*)     OVER (PARTITION BY tln)                       AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY tln ORDER BY doc_id, pos)  AS rn
+  FROM ne
+), keptl AS (
+  SELECT doc_id, pos, ln FROM marked WHERE cnt < 2 OR rn = 1
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept_lines,
+         string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+  FROM keptl GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.l) AS BIGINT)                  AS n_lines,
+       CAST(COALESCE(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       a.clean_text
+FROM ls l LEFT JOIN agg a USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
 def q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher §A1.1 quality rules (``operators/quality.gopher_quality`` —
     Rae et al. 2021). Documents are single-line word soup, so the query
@@ -2364,6 +2430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact_docs": q_pii_redact_docs,
     "preprocess_docs": q_preprocess_docs,
     "c4_clean_docs": q_c4_clean_docs,
+    "line_dedup_docs": q_line_dedup_docs,
     "gopher_quality_docs": q_gopher_quality_docs,
 }
 
@@ -2408,6 +2475,7 @@ ORACLES: dict[str, str] = {
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "preprocess_docs": SQL_PREPROCESS_DOCS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
+    "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
     "gopher_quality_docs": SQL_GOPHER_QUALITY_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks

@@ -79,6 +79,11 @@ def main() -> int:
     ap.add_argument("--c4", action="store_true",
                     help="apply the C4 line/page rules first (needs "
                          "newline-structured text)")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="drop corpus-wide duplicate lines (keep the first "
+                         "occurrence) before the quality gates — the C4/"
+                         "RefinedWeb across-dataset line rule; needs "
+                         "newline-structured text like --c4")
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher §A1.1 document rules as part of "
                          "the quality stage (assumes prose-shaped documents; "
@@ -130,6 +135,24 @@ def main() -> int:
             .localCheckpoint(eager=True)
         )
         funnel.append(_mark("c4_clean", docs.count()))
+
+    # 0.5 optional corpus-wide duplicate-line removal (one census shuffle on
+    #     hashed lines) — before tokenization so every later stage sees the
+    #     deduped form; docs losing every line drop out of the funnel
+    if args.line_dedup:
+        from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+
+        ld = corpus_line_dedup(docs, text_col="text", id_col="doc_id")
+        docs = (
+            docs.drop("text")
+            .join(
+                ld.where(F.col("n_kept_lines") > 0)
+                .select("doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        funnel.append(_mark("line_dedup", docs.count()))
 
     # 1. row-local quality gates (length + repetition), cheapest first
     docs = docs.withColumn(

@@ -85,3 +85,59 @@ def test_stream_c4_pii_scrub_matches_batch(spark):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) == 500
+
+
+def test_corpus_line_dedup_keep_first_and_counts(spark):
+    """Across-corpus duplicate lines drop everywhere but the canonical first
+    (min (id, pos)); within-doc repeats count toward the census; empty lines
+    always drop; a doc with no survivors emits NULL clean_text."""
+    from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared line\nunique two"),
+            (2, "shared line\nonly here"),
+            (3, "shared line\n\n   \nshared line"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_line_dedup(docs).collect()}
+    # doc 1 holds the first occurrence of "shared line" -> keeps all 3
+    assert out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"] == "unique one\nshared line\nunique two"
+    # doc 2 loses the duplicate, keeps its unique line
+    assert out[2]["n_kept_lines"] == 1 and out[2]["clean_text"] == "only here"
+    # doc 3: both copies are non-first occurrences; whitespace lines drop
+    assert out[3]["n_kept_lines"] == 0 and out[3]["clean_text"] is None
+    assert out[3]["n_lines"] == 4
+    # empty doc: one empty line from split, nothing kept
+    assert out[4]["n_lines"] == 1 and out[4]["n_kept_lines"] == 0
+
+
+def test_corpus_line_dedup_trim_key_raw_output(spark):
+    """The census key is the TRIMMED line (indented boilerplate still
+    collides) but surviving lines keep their original text."""
+    from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "  footer  \nkeep a"), (2, "footer\nkeep b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "  footer  \nkeep a"  # raw text survives
+    assert out[2]["clean_text"] == "keep b"
+
+
+def test_corpus_line_dedup_no_keep_first(spark):
+    from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "dup\nsolo"), (2, "dup")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_line_dedup(docs, keep_first=False).collect()
+    }
+    assert out[1]["clean_text"] == "solo"
+    assert out[2]["n_kept_lines"] == 0 and out[2]["clean_text"] is None
