@@ -75,6 +75,7 @@ HEADLINE = [
     "c4_clean_docs",
     "gopher_quality_docs",
     "line_dedup_docs",
+    "temperature_mixture_docs",
 ]
 
 

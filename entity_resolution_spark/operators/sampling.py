@@ -105,3 +105,116 @@ def name_letter_quotas(
         )
         .orderBy("first_letter")
     )
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget_tokens: int,
+    alpha: float = 0.5,
+    bucket_col: str = "source",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Alpha-scaled (temperature) mixture budgets — the multilingual/mixture
+    sampling rule of XLM-R §3.1 / mT5 ("alpha sampling") and the "sampling
+    temperature" knob of the Gopher/PaLM mixture tables: a bucket holding
+    token share p_s samples with probability ∝ p_s^alpha, flattening the
+    head and boosting the tail as alpha → 0 (alpha = 1 is proportional).
+
+    Output: (bucket, bucket_tokens, budget_tokens) with
+    ``budget_tokens = (total · w_s) DIV Σ w_t`` and ``w_s =
+    bucket_tokens^alpha`` (the p^alpha normalizer cancels, so shares never
+    need the corpus total).
+
+    Engine-exactness: at the default ``alpha = 0.5`` the weights are the
+    INTEGER square roots ``isqrt(bucket_tokens)`` (floor(sqrt) with a ±1
+    correction, so a last-ulp libm difference can never change the value)
+    and the whole computation is integer arithmetic — the DuckDB oracle
+    hashes identically regardless of float-summation order. Any other alpha
+    takes the float ``pow`` path, whose normalizer sum is
+    association-order-dependent — fine for production mixing, not for a
+    hash-compared oracle (documented, not hidden).
+
+    Scale shape: ONE map-side-combining aggregate to |buckets| rows, one
+    window over those rows — broadcast the result wherever it joins.
+    """
+    per = docs.groupBy(bucket_col).agg(
+        F.sum(F.col(n_tokens_col).cast("bigint")).alias("bucket_tokens")
+    )
+    if alpha == 0.5:
+        y0 = F.floor(F.sqrt(F.col("bucket_tokens").cast("double"))).cast("bigint")
+        w = (
+            F.when((y0 + 1) * (y0 + 1) <= F.col("bucket_tokens"), y0 + 1)
+            .when(y0 * y0 > F.col("bucket_tokens"), y0 - 1)
+            .otherwise(y0)
+        )
+        per = per.withColumn("_w", w)
+        # floor(a/b) on doubles: both operands stay far below 2^53 (total ≤
+        # 1e9 budgets · isqrt ≤ 1e6 weights), so the double division is exact
+        # and floor() — NOT a bigint cast, whose rounding rule differs
+        # between engines — gives the integer quotient on Spark and DuckDB
+        # alike
+        return per.select(
+            bucket_col,
+            "bucket_tokens",
+            F.floor(
+                (F.lit(int(total_budget_tokens)) * F.col("_w"))
+                / F.sum("_w").over(Window.partitionBy())
+            ).cast("bigint").alias("budget_tokens"),
+        )
+    w = F.pow(F.col("bucket_tokens").cast("double"), F.lit(float(alpha)))
+    return per.select(
+        bucket_col,
+        "bucket_tokens",
+        F.floor(
+            F.lit(float(total_budget_tokens)) * w
+            / F.sum(w).over(Window.partitionBy())
+        ).cast("bigint").alias("budget_tokens"),
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    total_budget_tokens: int,
+    alpha: float = 0.5,
+    bucket_col: str = "source",
+    id_col: str = "unique_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-weighted data mixing: :func:`temperature_budgets` decides
+    each bucket's token budget, then the engine's deterministic Knuth-rank
+    keep-while-under-budget rule (:func:`token_budget_sample`'s semantics,
+    per-bucket budget instead of a constant) selects the documents.
+
+    Output: (id, bucket, n_tokens, budget_tokens, sample_rank, cum_tokens,
+    kept). The budgets frame is |buckets| rows — broadcast into the join, so
+    the only shuffle is the per-bucket running-sum window.
+    """
+    budgets = temperature_budgets(
+        docs, total_budget_tokens, alpha, bucket_col, n_tokens_col
+    ).select(bucket_col, "budget_tokens")
+    _id = F.col(id_col).cast("bigint")
+    lo = _id.bitwiseAND(F.lit(0xFFFF))
+    hi16 = F.shiftright(_id, 16).bitwiseAND(F.lit(0xFFFF))
+    rank = (
+        lo * _KNUTH + ((hi16 * _KNUTH) % F.lit(1 << 16)) * F.lit(1 << 16)
+    ) % F.lit(_MOD)
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy("sample_rank", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(bucket_col),
+            F.col(n_tokens_col).cast("bigint").alias(n_tokens_col),
+            rank.alias("sample_rank"),
+        )
+        .join(F.broadcast(budgets), bucket_col)
+        .withColumn("cum_tokens", F.sum(n_tokens_col).over(w).cast("bigint"))
+        .withColumn(
+            "kept",
+            (F.col("cum_tokens") - F.col(n_tokens_col))
+            < F.col("budget_tokens"),
+        )
+    )

@@ -1675,6 +1675,73 @@ FROM d
 """
 
 
+def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing (XLM-R §3.1 alpha-sampling / the
+    Gopher-PaLM mixture-temperature rule) at alpha = 0.5: per-source budgets
+    ∝ isqrt(source tokens) — integer-exact on both engines — then the
+    deterministic Knuth-rank keep-while-under-budget selection. Every hashed
+    value is bigint; kept is bigint 0/1."""
+    from entity_resolution_spark.operators.sampling import temperature_mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    out = temperature_mixture_sample(
+        d, total_budget_tokens=50_000, alpha=0.5,
+        bucket_col="source", id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "budget_tokens", "sample_rank",
+        "cum_tokens", F.col("kept").cast("bigint").alias("kept"),
+    ).orderBy("doc_id")
+
+
+SQL_TEMPERATURE_MIXTURE_DOCS = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         ((CAST(doc_id AS BIGINT) & 65535) * 2654435761
+          + (((CAST(doc_id AS BIGINT) >> 16) & 65535) * 2654435761 % 65536)
+            * 65536) % 4294967296 AS sample_rank
+  FROM documents
+), b AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY source
+), iw AS (
+  SELECT source, bucket_tokens,
+         CAST(floor(sqrt(bucket_tokens::DOUBLE)) AS BIGINT) AS y0
+  FROM b
+), w AS (
+  SELECT source,
+         CASE WHEN (y0 + 1) * (y0 + 1) <= bucket_tokens THEN y0 + 1
+              WHEN y0 * y0 > bucket_tokens THEN y0 - 1
+              ELSE y0 END AS wgt
+  FROM iw
+), bb AS (
+  SELECT source,
+         CAST(floor((50000 * wgt)::DOUBLE / SUM(wgt) OVER ()) AS BIGINT)
+           AS budget_tokens
+  FROM w
+)
+SELECT d.doc_id, d.source, d.n_tokens, bb.budget_tokens, d.sample_rank,
+       CAST(sum(d.n_tokens) OVER (
+         PARTITION BY d.source ORDER BY d.sample_rank, d.doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_tokens,
+       CAST((sum(d.n_tokens) OVER (
+         PARTITION BY d.source ORDER BY d.sample_rank, d.doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - d.n_tokens) < bb.budget_tokens AS BIGINT) AS kept
+FROM d JOIN bb USING (source)
+ORDER BY d.doc_id
+"""
+
+
 def q_unigram_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality filter (CCNet/KenLM idea with integer-exact
     arithmetic): per-doc unigram self-information in whole bits,
@@ -2431,6 +2498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preprocess_docs": q_preprocess_docs,
     "c4_clean_docs": q_c4_clean_docs,
     "line_dedup_docs": q_line_dedup_docs,
+    "temperature_mixture_docs": q_temperature_mixture_docs,
     "gopher_quality_docs": q_gopher_quality_docs,
 }
 
@@ -2476,6 +2544,7 @@ ORACLES: dict[str, str] = {
     "preprocess_docs": SQL_PREPROCESS_DOCS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
+    "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE_DOCS,
     "gopher_quality_docs": SQL_GOPHER_QUALITY_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks

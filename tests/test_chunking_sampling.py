@@ -124,3 +124,79 @@ def test_name_letter_quotas_bankers_rounding(spark):
     got = {r["first_letter"]: (r["n_names"], r["new_sample"]) for r in rows}
     assert got == {"a": (3, 8), "b": (1, 2)}
     assert [r["first_letter"] for r in rows] == ["a", "b"]  # sorted strata
+
+
+def test_temperature_budgets_flatten_head(spark):
+    """alpha = 0.5 reallocates budget from the dominant source toward the
+    tail relative to proportional (alpha = 1) — the XLM-R flattening."""
+    from entity_resolution_spark.operators.sampling import temperature_budgets
+
+    docs = spark.createDataFrame(
+        [(i, "big", 100) for i in range(90)]
+        + [(100 + i, "small", 100) for i in range(10)],
+        "unique_id long, source string, n_tokens long",
+    )
+    half = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_budgets(docs, 1000, alpha=0.5).collect()
+    }
+    prop = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_budgets(docs, 1000, alpha=1.0).collect()
+    }
+    # proportional: 900 / 100. sqrt: 1000*sqrt(9000)/(sqrt(9000)+sqrt(1000))
+    assert prop["big"] == 900 and prop["small"] == 100
+    assert half["big"] < 900 and half["small"] > 100
+    # isqrt(9000)=94, isqrt(1000)=31: floor(1000·94/125), floor(1000·31/125)
+    assert half["big"] == 752 and half["small"] == 248
+    assert half["big"] + half["small"] <= 1000
+
+
+def test_temperature_mixture_sample_respects_budgets(spark):
+    from entity_resolution_spark.operators.sampling import (
+        temperature_budgets,
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", 10 + i % 7) for i in range(60)]
+    docs = spark.createDataFrame(rows, "unique_id long, source string, n_tokens long")
+    out = temperature_mixture_sample(docs, 300, alpha=0.5, id_col="unique_id")
+    budgets = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_budgets(docs, 300, alpha=0.5).collect()
+    }
+    per = {}
+    for r in out.collect():
+        assert r["budget_tokens"] == budgets[r["source"]]
+        if r["kept"]:
+            per.setdefault(r["source"], []).append(r)
+    for src, kept in per.items():
+        kept.sort(key=lambda r: (r["sample_rank"], r["unique_id"]))
+        # every kept doc but the last starts under budget; the stop rule is
+        # keep-while-cum-before-this-doc-under-budget
+        for r in kept[:-1]:
+            assert r["cum_tokens"] - r["n_tokens"] < budgets[src]
+        # first doc past the crossing is NOT kept: the max kept cum either
+        # crosses the budget once or the bucket ran out of docs
+        total_bucket = sum(x["n_tokens"] for x in (
+            r for r in out.collect() if r["source"] == src))
+        assert kept[-1]["cum_tokens"] >= min(budgets[src], total_bucket) or \
+            kept[-1]["cum_tokens"] == total_bucket
+
+
+def test_isqrt_correction_exact():
+    """The ±1 isqrt correction: perfect squares and k²-1 both land exactly."""
+    from entity_resolution_spark.operators.sampling import temperature_budgets
+    from entity_resolution_spark.session import get_spark
+
+    spark = get_spark("t")
+    docs = spark.createDataFrame(
+        [(1, "sq", 9409), (2, "off", 9408)],  # 97², 97²-1
+        "unique_id long, source string, n_tokens long",
+    )
+    # weights must be isqrt: 97 and 96 -> budgets floor(T*97/193), floor(T*96/193)
+    got = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_budgets(docs, 193_000, alpha=0.5).collect()
+    }
+    assert got == {"sq": 97_000, "off": 96_000}
