@@ -77,6 +77,12 @@ HEADLINE = [
     "line_dedup_docs",
     "temperature_mixture_docs",
 ]
+# Correctness-gate queries (minhash_recall_gate, which recomputes the exact
+# corpus-wide 3-gram pair set + the LSH pair set purely to compare counts)
+# are deliberately NOT in HEADLINE: their subtrees are already timed above
+# (jaccard_pairs_docs, minhash_near_dup) and re-timing the comparison would
+# double-count ~18s of redundant work. The driver's CORRECTNESS gate runs
+# every queries() entry regardless, so the gate rows stay hash-checked.
 
 
 def recall_gates(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:

@@ -568,6 +568,57 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall gate for the MinHash-LSH scale path: integer
+    (n_exact, n_hit, n_missed) of the banded+verified LSH pair set against
+    the EXACT corpus-wide 3-gram-jaccard pair set at the same 0.5 threshold.
+    The DuckDB oracle computes the exact set from string shingles and
+    asserts the perfect-recall counts (n_hit = n_exact, n_missed = 0) — the
+    bench's recall gate turned into a hash-compared driver row. Both engines
+    use the identical length-compensating shingle rule (docs shorter than k
+    tokens contribute one whole-sequence shingle)."""
+    d = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(
+        d, "doc_id", "text", block_col=None, threshold=0.5, ngram=3
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    approx = minhash_lsh_dup_pairs(
+        d, shingle_k=3, verify_threshold=0.5
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_hit, n_exact - n_hit)],
+        "n_exact bigint, n_hit bigint, n_missed bigint",
+    )
+
+
+SQL_MINHASH_RECALL_GATE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE [] END AS s
+  FROM tk
+), e AS (
+  SELECT count(*) AS n_exact
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_exact AS BIGINT) AS n_hit,
+       CAST(0 AS BIGINT)       AS n_missed
+FROM e
+"""
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(d, max_hamming=6)
@@ -2499,6 +2550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean_docs": q_c4_clean_docs,
     "line_dedup_docs": q_line_dedup_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
+    "minhash_recall_gate": q_minhash_recall_gate,
     "gopher_quality_docs": q_gopher_quality_docs,
 }
 
@@ -2545,6 +2597,7 @@ ORACLES: dict[str, str] = {
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE_DOCS,
+    "minhash_recall_gate": SQL_MINHASH_RECALL_GATE,
     "gopher_quality_docs": SQL_GOPHER_QUALITY_DOCS,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
