@@ -63,3 +63,21 @@ def test_exact_dedup_scan_prunes_to_needed_columns(spark):
     plan = _plan(QUERIES["exact_dedup_docs"](spark, SF_DIR))
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "embedding" not in read_schema
+
+
+def test_line_dedup_no_cartesian_single_census_exchange(spark):
+    """corpus_line_dedup: hashed-line census join, never a self-join of the
+    corpus — no CartesianProduct / BroadcastNestedLoop anywhere, and the
+    line text reaches the census exchange only as its xxhash64."""
+    plan = _plan(QUERIES["line_dedup_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_temperature_mixture_broadcasts_budgets(spark):
+    """The |buckets|-row budgets frame must broadcast into the doc join —
+    a shuffle join there would exchange the whole corpus against a
+    handful of rows."""
+    plan = _plan(QUERIES["temperature_mixture_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
