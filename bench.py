@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_near_dup",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_ann_topk",
     "er_resolve_docs",
     "er_resolve_docs_exact",
     "er_resolve_f1_docs",
@@ -184,6 +185,24 @@ def recall_gates(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
     }
     hits = sum(1 for r in base if (r["vec_id"], r["vec_id"] + 1_000_000) in got)
     out["ivf_ann_planted_partner_recall"] = round(hits / len(base), 4) if base else 1.0
+
+    # PQ ANN on the same planted-partner regime: every original must retrieve
+    # its cosine≈0.995 partner in top-5 through the quantized screen while
+    # reranking only `rerank` of N candidates exactly.
+    from entity_resolution_spark.operators.similarity import pq_ann_topk
+
+    got_pq = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in pq_ann_topk(
+            corpus, ivf_probes, k=5, m=8, k_codes=32, rerank=64
+        ).collect()
+    }
+    hits_pq = sum(
+        1 for r in base if (r["vec_id"], r["vec_id"] + 1_000_000) in got_pq
+    )
+    out["pq_ann_planted_partner_recall"] = (
+        round(hits_pq / len(base), 4) if base else 1.0
+    )
     return out
 
 

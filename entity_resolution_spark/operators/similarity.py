@@ -507,3 +507,207 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- Product quantization (PQ) ANN -----------------------------------------
+
+
+def _l2_kmeans(x: "_np.ndarray", k: int, seed: int, n_iter: int = 10):
+    """Seeded k-means++ init + fixed-iteration Lloyd under squared-L2 — the
+    subspace quantizer PQ trains (Jégou et al. 2011, §III). Deterministic by
+    construction: fixed seed, fixed iterations, empty clusters keep their
+    previous centroid."""
+    n = len(x)
+    k = max(1, min(k, n))
+    rng = _np.random.RandomState(seed)
+    cents = [x[int(rng.randint(n))]]
+    d = ((x - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = float(d.sum())
+        if tot <= 0.0:
+            idx = int(rng.randint(n))
+        else:
+            idx = min(
+                int(_np.searchsorted(_np.cumsum(d), rng.uniform(0.0, tot))),
+                n - 1,
+            )
+        cents.append(x[idx])
+        d = _np.minimum(d, ((x - cents[-1]) ** 2).sum(axis=1))
+    cmat = _np.stack(cents)
+    for _ in range(n_iter):
+        d2 = (
+            (x**2).sum(axis=1)[:, None]
+            - 2.0 * (x @ cmat.T)
+            + (cmat**2).sum(axis=1)[None, :]
+        )
+        assign = _np.argmin(d2, axis=1)
+        for c in range(k):
+            members = assign == c
+            if members.any():
+                cmat[c] = x[members].mean(axis=0)
+    return cmat
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 8192,
+    seed: int = _SKETCH_SEED,
+) -> list:
+    """Per-subspace PQ codebooks from the SAME deterministic hash sample as
+    the IVF trainer: unit-normalize the sampled vectors (ADC inner product
+    over unit rows == cosine), split dimensions into ``m`` contiguous
+    subspaces, L2-k-means each with ``k_codes`` centroids. Returns a list of
+    m (k_codes × d_sub) arrays. Sample-bounded driver work; the trained
+    codebooks broadcast at ~m·k·d·8 bytes (a few KB)."""
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    every = max(1, n // sample_rows)
+    samp = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .where(F.pmod("_h", F.lit(every)) == 0)
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    unit = _unit_rows(
+        _np.stack([_np.asarray(r["_v"], dtype=_np.float64) for r in samp])
+    )
+    splits = _np.array_split(_np.arange(unit.shape[1]), m)
+    return [
+        _l2_kmeans(unit[:, idx], k_codes, seed + s)
+        for s, idx in enumerate(splits)
+    ]
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str | None = None,
+    m: int = 4,
+    k_codes: int = 16,
+    rerank: int = 32,
+    sample_rows: int = 8192,
+    seed: int = _SKETCH_SEED,
+    codebooks: "list | None" = None,
+) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance
+    (Jégou et al. 2011) with exact rerank — the MEMORY-bound ANN scale tier
+    (IVF bounds the rows scanned; PQ bounds the BYTES per row: m code bytes
+    instead of d floats, the standard shape for RAM-resident indexes over
+    10^11 vectors).
+
+    One fused corpus scan: each Arrow batch encodes its rows (per-subspace
+    argmin against the broadcast codebooks — at 100 TB the codes would be
+    precomputed once and stored as an m-byte column; the fused encode keeps
+    this operator self-contained), scores ALL probes with the ADC lookup
+    tables (probe × subspace × code inner-product tables built once
+    driver-side), keeps each probe's batch-local top-``rerank`` candidates,
+    and computes their EXACT cosine; a first window then takes the GLOBAL
+    ADC top-``rerank`` per probe (every global-ADC-top-R row is necessarily
+    in its own batch's top-R, so the union of batch lists always contains
+    it — the result is exactly "global ADC top-R, exact-reranked", fully
+    independent of the corpus partitioning), and the final window ranks
+    those by the exact value. Recall loss comes only from PQ distortion
+    dropping a true neighbor below global ADC rank ``rerank``
+    (planted-partner gate in bench.py).
+
+    Probes are contract-small (collected + broadcast, like
+    :func:`brute_force_topk` / :func:`ivf_ann_topk`)."""
+    import pandas as pd
+
+    probe_id_col = probe_id_col or id_col
+    pid_t = probes.select(probe_id_col).schema.fields[0].dataType.simpleString()
+    nid_t = corpus.select(id_col).schema.fields[0].dataType.simpleString()
+    scan_schema = f"probe_id {pid_t}, neighbor_id {nid_t}, adc double, cosine double"
+
+    probe_rows = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    ).collect()
+    if not probe_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"probe_id {pid_t}, neighbor_id {nid_t}, cosine double, rank int"
+        )
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col,
+            sample_rows=sample_rows, seed=seed,
+        )
+    p_ids = _np.array([r["probe_id"] for r in probe_rows])
+    p_unit = _unit_rows(
+        _np.stack([_np.asarray(r["_pv"], dtype=_np.float64) for r in probe_rows])
+    )
+    d = p_unit.shape[1]
+    splits = _np.array_split(_np.arange(d), len(codebooks))
+    # ADC tables: tables[s][probe, code] = <probe_sub, centroid>
+    tables = [
+        p_unit[:, idx] @ cb.T for idx, cb in zip(splits, codebooks)
+    ]
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        {
+            "ids": p_ids, "unit": p_unit, "cb": codebooks,
+            "splits": [idx for idx in splits], "tables": tables,
+            "rerank": int(rerank),
+        }
+    )
+
+    def scan(batches):
+        pb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            unit = _unit_rows(
+                _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in pdf["_v"].to_numpy()]
+                )
+            )
+            napprox = _np.zeros((len(ids), len(pb["ids"])))
+            for idx, cb, tab in zip(pb["splits"], pb["cb"], pb["tables"]):
+                sub = unit[:, idx]
+                # encode: argmin squared-L2 == argmax (2x·c − ||c||²)
+                codes = _np.argmax(
+                    2.0 * (sub @ cb.T) - (cb**2).sum(axis=1)[None, :], axis=1
+                )
+                napprox += tab[:, codes].T  # (rows, probes)
+            # per-probe batch-local top-R by ADC score, self-pairs excluded
+            napprox[ids[:, None] == pb["ids"][None, :]] = -_np.inf
+            r = min(pb["rerank"], len(ids))
+            top = _np.argpartition(-napprox, r - 1, axis=0)[:r]  # (R, probes)
+            ci = top.ravel(order="F")
+            pi = _np.repeat(_np.arange(len(pb["ids"])), r)
+            keep = napprox[ci, pi] > -_np.inf
+            ci, pi = ci[keep], pi[keep]
+            if not len(ci):
+                continue
+            cosine = _np.einsum("ij,ij->i", unit[ci], pb["unit"][pi])
+            yield pd.DataFrame(
+                {
+                    "probe_id": pb["ids"][pi],
+                    "neighbor_id": ids[ci],
+                    "adc": napprox[ci, pi],
+                    "cosine": _np.round(cosine, 6),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = c.mapInPandas(scan, schema=scan_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

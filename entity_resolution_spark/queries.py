@@ -655,6 +655,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, probes, k=5, n_probe=4)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace codebooks
+    + ADC lookup-table scoring + global ADC top-R + exact rerank — the
+    memory-bound ANN scale tier (m code bytes per row instead of d floats).
+    Deterministic (seeded sample-trained codebooks, fixed iterations,
+    partitioning-independent candidate set) but float-iterative k-means —
+    rows-only; brute-parity and planted-partner goldens in
+    tests/test_similarity.py, recall gate in bench.py."""
+    from entity_resolution_spark.operators.similarity import pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.where(F.col("vec_id") < 20)
+    return pq_ann_topk(e, probes, k=5, m=8, k_codes=32, rerank=64)
+
+
 def q_er_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: full ER pipeline over documents adapted to the mandated input
     shape (repo=source, path=doc_id.txt, commit=doc_id, lang=lang, content=text).
@@ -2551,6 +2568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_docs": q_line_dedup_docs,
     "temperature_mixture_docs": q_temperature_mixture_docs,
     "minhash_recall_gate": q_minhash_recall_gate,
+    "pq_ann_topk": q_pq_ann_topk,
     "gopher_quality_docs": q_gopher_quality_docs,
 }
 

@@ -170,3 +170,63 @@ def test_ivf_assign_cells_partitions_clusters_together(spark):
         by_cluster.setdefault(r["vec_id"] // 10, set()).add(r["cell"])
     frac_single = sum(1 for s in by_cluster.values() if len(s) == 1) / len(by_cluster)
     assert frac_single >= 0.9, by_cluster
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+
+def test_pq_equals_brute_when_rerank_covers_corpus(spark):
+    """With rerank >= corpus size every row is admitted and reranked by the
+    EXACT cosine, so the PQ output must equal brute force bit-for-bit —
+    isolating the ADC/top-R plumbing from quantization loss."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.similarity import (
+        brute_force_topk,
+        pq_ann_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where("vec_id < 5")
+    want = sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=3).collect()
+    )
+    got = sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"])
+        for r in pq_ann_topk(emb, probes, k=3, m=4, k_codes=8, rerank=60).collect()
+    )
+    assert got == want
+
+
+def test_pq_planted_partner_and_partition_invariance(spark):
+    """Near-dup partners at cosine ≈ 0.995 must be retrieved top-1 through
+    the quantized screen at rerank << N, and the result must not depend on
+    the corpus partitioning."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.similarity import pq_ann_topk
+
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal((80, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    rows += [
+        (1000 + i,
+         [float(x) for x in base[i] + 0.05 * rng.standard_normal(16)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where("vec_id < 10")
+
+    def run(df):
+        return {
+            (r["probe_id"], r["rank"]): r["neighbor_id"]
+            for r in pq_ann_topk(df, probes, k=3, m=4, k_codes=16, rerank=16).collect()
+        }
+
+    got = run(emb)
+    for i in range(10):
+        assert got[(i, 1)] == 1000 + i  # the planted partner wins top-1
+    assert run(emb.repartition(7)) == got
