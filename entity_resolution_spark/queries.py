@@ -798,7 +798,10 @@ def q_er_resolve_f1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     def _pairs(n):
-        return (n * (n - 1) / 2).cast("bigint")
+        # n·(n−1) is even: shiftright(·,1) halves EXACTLY in bigint — the
+        # `/2` double round-trip would lose integers past 2^53 (billion-row
+        # truth groups are real at the target scale)
+        return F.shiftright(n * (n - 1), 1)
 
     pos = (
         g.groupBy("lang", "content_sha").agg(F.count("*").alias("_n"))
