@@ -104,9 +104,11 @@ def corpus_line_dedup(
     STRING lines and hash-matches.
     """
     lines = F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), "\n")
-    base = docs.select(
-        F.col(id_col).alias("_id"), lines.alias("_ls")
-    ).localCheckpoint(eager=True)  # feeds the census AND the n_lines join
+    # deliberately NOT materialized: base feeds the census subtree AND the
+    # final n_lines join, but it is a narrow projection of the source scan —
+    # re-reading the corpus twice is the scale-safe choice (a localCheckpoint
+    # here would write the entire split-line corpus to executor storage)
+    base = docs.select(F.col(id_col).alias("_id"), lines.alias("_ls"))
     ex = (
         base.select("_id", F.posexplode("_ls").alias("_pos", "_ln"))
         .withColumn("_t", F.trim("_ln"))
