@@ -99,3 +99,30 @@ def test_embedding_near_dup(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vecs, threshold=0.9).collect()}
     assert got == {(1, 2)}
+
+
+def test_minhash_block_col_scopes_bands(spark):
+    """block_col scopes band buckets: IDENTICAL texts in different blocks
+    must never pair (the IdentityBlocker twin of the exact path) — on both
+    the kernel signature path (num_hashes == N_MINHASH) and the exploded
+    fallback (any other width)."""
+    from entity_resolution_spark.operators.dedup import minhash_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "py"),
+            (2, "a b c d e f g h", "py"),
+            (3, "a b c d e f g h", "go"),
+            (4, "x y z w q r t u", "py"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    for nh, nb in ((32, 16), (16, 8)):  # kernel width, then fallback width
+        out = {
+            r["doc_id"]: r["cluster"]
+            for r in minhash_dup_clusters(
+                docs, threshold=0.5, num_hashes=nh, bands=nb, block_col="lang"
+            ).collect()
+        }
+        assert out[1] == out[2], (nh, out)
+        assert out[3] != out[1] and out[4] != out[1], (nh, out)
