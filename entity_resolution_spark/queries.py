@@ -763,6 +763,20 @@ FROM r
 """
 
 
+def pair_count(n):
+    """n·(n−1)/2 in exact bigint, overflow-hardened: the even factor is
+    halved BEFORE the multiply — the naive n·(n−1) product overflows bigint
+    at n ≈ 3.04e9 while this form is exact over the FULL representable
+    domain — every n ≤ 2^32, the largest n whose pair count itself fits in
+    bigint — and because exactly one of n, n−1 is even it is still pure
+    integer arithmetic (a `/2` double round-trip would lose integers past
+    2^53; billion-row truth groups are real at the target scale —
+    test_f1_pair_count_bigint_safe exercises n = 2^32)."""
+    return F.when(
+        n.bitwiseAND(F.lit(1)) == 0, F.shiftright(n, 1) * (n - 1)
+    ).otherwise(n * F.shiftright(n - 1, 1))
+
+
 def q_er_resolve_f1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable F1 gate for the FULL flagship family (VERDICT r3 #3):
     pairwise confusion counts of the full pipeline's clusters against the
@@ -797,11 +811,7 @@ def q_er_resolve_f1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
     ).localCheckpoint(eager=True)
 
-    def _pairs(n):
-        # n·(n−1) is even: shiftright(·,1) halves EXACTLY in bigint — the
-        # `/2` double round-trip would lose integers past 2^53 (billion-row
-        # truth groups are real at the target scale)
-        return F.shiftright(n * (n - 1), 1)
+    _pairs = pair_count
 
     pos = (
         g.groupBy("lang", "content_sha").agg(F.count("*").alias("_n"))

@@ -131,3 +131,24 @@ def test_initial_name_checks(spark):
     assert got["B"] == (1, None, "missing_from_results")
     assert got["C"] == (None, 1, "missing_from_validation")
     assert got["D"] == (2, 1, "count_mismatch")
+
+
+def test_f1_pair_count_bigint_safe(spark):
+    """The F1-gate pair counter must survive truth groups past the naive
+    n·(n−1) bigint cliff (~3.04e9): at n = 2^32 the raw product is ~1.8e19
+    > 2^63−1, while the halved-first form fits exactly.  Constructed
+    group-size frame — no real rows needed (VERDICT r4 ask #4)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.queries import pair_count
+
+    n_even = 2**32  # the largest n whose pair count itself fits in bigint
+    n_odd = 2**32 - 1
+    df = spark.createDataFrame([(n_even,), (n_odd,), (1,), (2,), (3,)], "n bigint")
+    got = {
+        r["n"]: r["p"]
+        for r in df.select("n", pair_count(F.col("n")).alias("p")).collect()
+    }
+    assert got[n_even] == n_even * (n_even - 1) // 2
+    assert got[n_odd] == n_odd * (n_odd - 1) // 2
+    assert got[1] == 0 and got[2] == 1 and got[3] == 3
