@@ -83,6 +83,29 @@ def ngram_hash_array(text: Column, n: int) -> Column:
     return ws_ngram_hashes(text, n)
 
 
+# Fixed 2-token probe whose single window hash under the CURRENT kernel is
+# persisted inside every eval set as a version marker. Two tokens so the
+# sentinel witnesses BOTH halves of the kernel (the per-token dual-crc32
+# widening AND the polynomial window combine) while staying independent of
+# the eval set's n. The tokens are nonces that cannot occur in real text.
+_KERNEL_PROBE_TEXT = "erspark0kernelparityprobe erspark1kernelparityprobe"
+
+
+def kernel_sentinel() -> int:
+    """The kernel-version sentinel value: hash of the fixed probe window
+    under the current ``ws_ngram_hashes`` kernel. Any change to the token
+    hash or the window combine changes this value, so an eval set persisted
+    under an OLD bigint kernel — which passes the dtype assert but silently
+    matches nothing — fails the presence check in
+    :func:`contamination_counts` instead of reporting zero contamination
+    (ADVICE r4)."""
+    import pandas as pd
+
+    from entity_resolution_spark.functions.fast_text import ws_ngram_hashes_batch
+
+    return int(ws_ngram_hashes_batch(pd.Series([_KERNEL_PROBE_TEXT]), 2).iloc[0][0])
+
+
 def eval_ngram_set(
     eval_docs: DataFrame, text_col: str = "content", n: int = 13
 ) -> DataFrame:
@@ -99,12 +122,18 @@ def eval_ngram_set(
     silently matches NOTHING — zero contamination flagged. Re-materialize
     persisted eval sets whenever the kernel hash changes;
     :func:`contamination_counts` type-asserts the column so a stale string
-    set fails loudly instead.
+    set fails loudly, and verifies the :func:`kernel_sentinel` row appended
+    here so a bigint-but-stale set (old kernel, right dtype) also fails
+    loudly instead of matching nothing.
     """
+    sent = eval_docs.sparkSession.createDataFrame(
+        [(kernel_sentinel(),)], "ngram bigint"
+    )
     return (
         eval_docs.select(
             F.explode(ngram_hash_array(F.col(text_col), n)).alias("ngram")
         )
+        .unionByName(sent)
         .distinct()
     )
 
@@ -130,6 +159,20 @@ def contamination_counts(exploded: DataFrame, ev: DataFrame, group_cols) -> Data
                 "bigint kernel hashes — re-materialize the eval n-gram set "
                 "with the current ngram_hash_array kernel"
             )
+    # kernel-version check: a set persisted under an OLD bigint kernel
+    # passes the dtype assert but would silently match nothing; require the
+    # current kernel's sentinel row (one tiny job at plan-build time — the
+    # eval side is broadcast-small by contract), then drop the marker so it
+    # can never count as a contamination hit.
+    sent = kernel_sentinel()
+    if ev.where(F.col("ngram") == sent).limit(1).count() == 0:
+        raise ValueError(
+            "contamination_counts: eval set lacks the current kernel-version "
+            "sentinel — it was materialized under an older ngram hash kernel "
+            "and would report zero contamination; rebuild it with "
+            "eval_ngram_set()"
+        )
+    ev = ev.where(F.col("ngram") != sent)
     return (
         exploded.join(ev, "ngram", "left")
         .groupBy(*group_cols)

@@ -26,6 +26,19 @@ from entity_resolution_spark.functions.vectors import array_jaccard, cosine_arra
 from entity_resolution_spark.operators.components import connected_components
 
 
+def _blk_expr(block_col: str | None):
+    """Block key with NULLs coalesced to a NUL-prefixed sentinel so every
+    dedup path agrees on NULL-block semantics: NULL-block docs form their
+    OWN block (they pair with each other, never across into real blocks).
+    Without this the exact path's equi-join on _blk silently dropped NULL
+    blocks while the LSH path's concat_ws band key silently SKIPPED the
+    NULL, bucketing all NULL-block docs with nothing separating them from
+    each other's bands — the twins disagreed (ADVICE r4)."""
+    if not block_col:
+        return F.lit("all").alias("_blk")
+    return F.coalesce(F.col(block_col), F.lit("\x00<null>")).alias("_blk")
+
+
 def exact_dup_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -82,7 +95,7 @@ def jaccard_pairs(
         )
     base = docs.select(
         F.col(id_col).alias("_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        _blk_expr(block_col),
         F.array_sort(
             F.array_distinct(F.transform(toks_expr, lambda t: F.xxhash64(t)))
         ).alias("_toks"),
@@ -327,7 +340,7 @@ def minhash_lsh_dup_pairs(
     """
     from entity_resolution_spark.functions.fast_text import N_MINHASH, code_features
 
-    blk = (F.col(block_col) if block_col else F.lit("all")).alias("_blk")
+    blk = _blk_expr(block_col)
     if num_hashes == N_MINHASH:
         base = docs.select(
             F.col(id_col).alias("_id"),
@@ -481,7 +494,7 @@ def embedding_near_dup_pairs(
     dot products — no Python. For the sub-quadratic path see similarity.lsh_ann."""
     base = vectors.select(
         F.col(id_col).alias("_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("_blk"),
+        _blk_expr(block_col),
         F.col(vec_col).alias("_v"),
     )
     a = base.select(F.col("_id").alias("id_a"), "_blk", F.col("_v").alias("_va"))

@@ -148,17 +148,19 @@ def temperature_budgets(
             .otherwise(y0)
         )
         per = per.withColumn("_w", w)
-        # floor(a/b) on doubles: both operands stay far below 2^53 (total ≤
-        # 1e9 budgets · isqrt ≤ 1e6 weights), so the double division is exact
-        # and floor() — NOT a bigint cast, whose rounding rule differs
-        # between engines — gives the integer quotient on Spark and DuckDB
-        # alike
+        # total·w DIV Σw in decimal(38,0) integer arithmetic: the product
+        # can reach ~1e13 budget · ~3e9 isqrt ≈ 3e22 — past BOTH the 2^53
+        # double mantissa (where floor() goes off by one) and the 2^63
+        # bigint cliff.  Spark's integral `div` on the decimal product and
+        # DuckDB's HUGEINT `//` (oracle SQL) both produce the exact floor
+        # quotient, so the hash parity holds at real LLM token budgets
+        # (test_temperature_budgets_exact_past_2pow53).
         return per.select(
             bucket_col,
             "bucket_tokens",
-            F.floor(
-                (F.lit(int(total_budget_tokens)) * F.col("_w"))
-                / F.sum("_w").over(Window.partitionBy())
+            F.expr(
+                f"CAST({int(total_budget_tokens)} AS DECIMAL(38,0)) * _w"
+                " div SUM(_w) OVER ()"
             ).cast("bigint").alias("budget_tokens"),
         )
     w = F.pow(F.col("bucket_tokens").cast("double"), F.lit(float(alpha)))

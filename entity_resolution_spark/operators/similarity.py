@@ -703,11 +703,24 @@ def pq_ann_topk(
 
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     scored = c.mapInPandas(scan, schema=scan_schema)
+    # GLOBAL ADC top-R per probe: every global-top-R row is necessarily in
+    # its own batch's top-R, so the union of batch-local lists contains it;
+    # this window discards the batch-boundary-dependent surplus, making the
+    # reranked candidate set exactly "global ADC top-R" regardless of how
+    # the corpus was partitioned (the partition-invariance test constructs
+    # batches larger than rerank to exercise it).
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    pooled = (
+        scored.withColumn("_ar", F.row_number().over(wa))
+        .where(F.col("_ar") <= int(rerank))
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pooled.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )

@@ -27,6 +27,7 @@ import json
 import os
 import re
 import time
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,14 +94,35 @@ class CheckpointStore:
         self.run_id = run_id
         os.makedirs(root, exist_ok=True)
         self.stage_seconds: dict[str, float] = {}
+        auto_detected = catalog is None
         self.catalog = (
             catalog if catalog is not None else detect_iceberg_catalog(spark)
         ) or None
         self.namespace = namespace
         if self.catalog:
-            spark.sql(
-                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
-            )
+            try:
+                spark.sql(
+                    f"CREATE NAMESPACE IF NOT EXISTS "
+                    f"{self.catalog}.{self.namespace}"
+                )
+            except Exception:
+                # an AUTO-detected catalog may reference an Iceberg extension
+                # whose runtime jar is absent or whose warehouse is
+                # misconfigured — a store that worked on parquet yesterday
+                # must not start throwing because an unrelated conf entry
+                # appeared; fall back to the parquet backend with a warning.
+                # An EXPLICIT catalog= keeps the hard failure: the caller
+                # asked for Iceberg specifically (ADVICE r4).
+                if not auto_detected:
+                    raise
+                warnings.warn(
+                    f"CheckpointStore: auto-detected Iceberg catalog "
+                    f"{self.catalog!r} is unusable (namespace creation "
+                    f"failed); falling back to the parquet backend",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self.catalog = None
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)

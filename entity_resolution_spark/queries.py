@@ -1805,8 +1805,8 @@ WITH d AS (
   FROM iw
 ), bb AS (
   SELECT source,
-         CAST(floor((50000 * wgt)::DOUBLE / SUM(wgt) OVER ()) AS BIGINT)
-           AS budget_tokens
+         CAST((CAST(50000 AS HUGEINT) * wgt) // SUM(wgt) OVER ()
+              AS BIGINT) AS budget_tokens
   FROM w
 )
 SELECT d.doc_id, d.source, d.n_tokens, bb.budget_tokens, d.sample_rank,

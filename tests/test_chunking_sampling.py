@@ -200,3 +200,32 @@ def test_isqrt_correction_exact():
         for r in temperature_budgets(docs, 193_000, alpha=0.5).collect()
     }
     assert got == {"sq": 97_000, "off": 96_000}
+
+
+def test_temperature_budgets_exact_past_2pow53(spark):
+    """ADVICE r4: at real LLM token budgets (1e13) the product
+    total·isqrt(bucket_tokens) passes 2^53, where the old double-division
+    floor() could be off by one.  The decimal(38,0) DIV path must match
+    exact Python integer arithmetic bucket-for-bucket."""
+    import math
+
+    from entity_resolution_spark.operators.sampling import temperature_budgets
+
+    total = 10**13
+    buckets = {
+        "a": 9_007_199_254_740_993,   # 2^53 + 1: unrepresentable in double
+        "b": 4_611_686_018_427_387_904,  # 2^62: isqrt ~2.1e9
+        "c": 3,
+        "d": 999_999_999_999_999_999,
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in buckets.items()], "source string, n_tokens long"
+    )
+    got = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_budgets(docs, total, alpha=0.5).collect()
+    }
+    w = {k: math.isqrt(v) for k, v in buckets.items()}
+    tot_w = sum(w.values())
+    want = {k: (total * wk) // tot_w for k, wk in w.items()}
+    assert got == want

@@ -67,7 +67,42 @@ def test_eval_ngram_set_distinct(spark):
 
     expected = set(ws_ngram_hashes_batch(pd.Series(["a b c a b c"]), 3)[0])
     assert len(expected) == 3  # "a b c", "b c a", "c a b"
-    assert grams == expected
+    from entity_resolution_spark.operators.decontamination import kernel_sentinel
+
+    # the set carries exactly one extra row: the kernel-version sentinel
+    assert grams == expected | {kernel_sentinel()}
+
+
+def test_stale_eval_set_fails_loudly(spark):
+    """ADVICE r4: an eval set with the RIGHT dtype but no current-kernel
+    sentinel (persisted under an older bigint kernel) must raise, not
+    silently report zero contamination; and the sentinel row itself must
+    never count as a contamination hit."""
+    import pytest
+
+    from entity_resolution_spark.operators.decontamination import (
+        contamination_counts,
+        eval_ngram_set,
+        kernel_sentinel,
+        ngram_hash_array,
+    )
+
+    docs = _docs(spark, [(1, "q w e r t y")])
+    exploded = docs.select(
+        F.col("unique_id").alias("_id"),
+        F.explode_outer(ngram_hash_array(F.col("content"), 3)).alias("ngram"),
+    )
+    stale = spark.createDataFrame([(12345,), (67890,)], "ngram bigint").withColumn(
+        "_hit", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="kernel-version sentinel"):
+        contamination_counts(exploded, stale, ["_id"])
+
+    # a fresh set containing ONLY the sentinel yields zero contamination
+    ev = eval_ngram_set(_docs(spark, []), n=3).withColumn("_hit", F.lit(1))
+    assert ev.count() == 1  # just the sentinel
+    out = contamination_counts(exploded, ev, ["_id"]).collect()
+    assert out[0]["contaminated_ngrams"] == 0 and not out[0]["is_contaminated"]
 
 
 def test_decontaminate_plan_broadcasts_eval_side(spark):

@@ -126,3 +126,39 @@ def test_minhash_block_col_scopes_bands(spark):
         }
         assert out[1] == out[2], (nh, out)
         assert out[3] != out[1] and out[4] != out[1], (nh, out)
+
+
+def test_null_block_semantics_agree_across_twins(spark):
+    """ADVICE r4: NULL block values must behave identically in the exact
+    jaccard path and the MinHash-LSH path — as their OWN block.  Two
+    identical NULL-lang docs must pair in BOTH; a NULL-lang doc must never
+    pair with an identical doc in a real block in EITHER."""
+    from entity_resolution_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", None),
+            (2, "a b c d e f g h", None),
+            (3, "a b c d e f g h", "py"),
+            (4, "a b c d e f g h", "py"),
+            (5, "x y z w q r t u", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, block_col="lang", threshold=0.5, ngram=3
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dup_pairs(
+            docs, shingle_k=3, verify_threshold=0.5, block_col="lang"
+        ).select("id_a", "id_b").collect()
+    }
+    assert exact == {(1, 2), (3, 4)}
+    assert lsh == exact

@@ -204,3 +204,34 @@ def test_interrupted_rewrite_invalidates_stale_checkpoint(spark, tmp_path):
     # the store recovers: the next get_or_compute recomputes cleanly
     out = store.get_or_compute("stage_a", lambda: df, input_signature="v1")
     assert out.count() == 10
+
+
+def test_unusable_autodetected_catalog_falls_back_to_parquet(spark, tmp_path):
+    """ADVICE r4: a session conf that merely MENTIONS an Iceberg catalog
+    (jar absent / warehouse broken) must not break a store that previously
+    worked on parquet — auto-detection falls back with a warning.  An
+    EXPLICIT catalog= keeps the hard failure."""
+    import warnings as _w
+
+    import pytest
+
+    from entity_resolution_spark.plans.checkpoint import CheckpointStore
+
+    spark.conf.set(
+        "spark.sql.catalog.bogus_ice", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            store = CheckpointStore(spark, str(tmp_path / "ck"))
+        assert store.catalog is None  # parquet fallback
+        assert any("falling back to the parquet backend" in str(w.message)
+                   for w in rec)
+        df = spark.range(5).toDF("n")
+        store.write("s1", df, "sig")
+        assert store.read("s1").count() == 5  # parquet path really works
+
+        with pytest.raises(Exception):
+            CheckpointStore(spark, str(tmp_path / "ck2"), catalog="bogus_ice")
+    finally:
+        spark.conf.unset("spark.sql.catalog.bogus_ice")

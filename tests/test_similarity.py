@@ -226,7 +226,14 @@ def test_pq_planted_partner_and_partition_invariance(spark):
             for r in pq_ann_topk(df, probes, k=3, m=4, k_codes=16, rerank=16).collect()
         }
 
-    got = run(emb)
+    got = run(emb.coalesce(1))  # ONE batch of 90 rows >> rerank=16: the
+    # batch-local top-16 IS the global ADC top-16 — the ground truth
     for i in range(10):
         assert got[(i, 1)] == 1000 + i  # the planted partner wins top-1
+    # Multi-partition runs produce batch-local top-16 lists whose union is
+    # a SUPERSET of the global top-16; the global-ADC window must discard
+    # the batch-boundary surplus so every partitioning agrees with the
+    # single-batch run (the pre-fix code failed exactly here: repartition(2)
+    # admits ~45-row batches > rerank, changing the reranked candidate set).
+    assert run(emb.repartition(2)) == got
     assert run(emb.repartition(7)) == got
