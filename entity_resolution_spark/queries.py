@@ -2525,6 +2525,320 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Driver-hash gate rows for non-SQL-expressible operators (VERDICT r4 asks
+# #2/#3): each emits a tiny frame of exact integers/booleans whose expected
+# values a DuckDB oracle computes straight from the parquet tables — the
+# minhash_recall_gate / er_resolve_f1_docs pattern (reference analog:
+# acceptance sampling as the check of record, qa/acceptance_metrics.py:55-74).
+# None of these are bench-timed (HEADLINE is an allowlist): their subtrees
+# re-run operators the headline queries already time.
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the sign-sketch LSH ANN contract: the exact brute-force
+    top-5 truth-set SIZE (SQL-certifiable) plus a boolean asserting recall ≥
+    0.95 against it — the bench gate (observed 0.99 at sf0.01) turned into a
+    hash-compared row. The truth size is the non-trivial integer: per probe
+    it is min(k, N−1) (self excluded), so the row also certifies that the
+    ANN output joins per-probe against a complete truth set."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.where(F.col("vec_id") < 20)
+    truth = (
+        brute_force_topk(e, probes, k=5)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    ann = lsh_ann_topk(e, probes, k=5).select("probe_id", "neighbor_id")
+    n_truth = truth.count()
+    n_hit = ann.join(truth, ["probe_id", "neighbor_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_truth, bool(n_hit * 20 >= 19 * n_truth))],
+        "n_truth bigint, recall_ge_95 boolean",
+    )
+
+
+SQL_LSH_ANN_RECALL_GATE = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20)
+            * LEAST(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT)
+         AS n_truth,
+       TRUE AS recall_ge_95
+"""
+
+
+def _planted_partner_corpus(spark: SparkSession, sf_dir: str):
+    """The bench's deterministic planted-partner construction (bench.py
+    recall_gates): for every embedding with vec_id < 100, union a partner at
+    cosine ≈ 0.995 (5% seeded noise) under id+1_000_000. Returns (corpus,
+    base_ids). Near-dup retrieval is the regime cell/quantizer ANN indexes
+    exist for — the sf tables themselves are isotropic at cosine 0.3-0.5
+    where any cell index degenerates to recall ≈ scan fraction."""
+    import numpy as _np
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = e.where(F.col("vec_id") < 100).collect()
+    rng = _np.random.RandomState(0xC0FFEE)
+    planted = [
+        (
+            int(r["vec_id"]) + 1_000_000,
+            [
+                float(x)
+                for x in _np.asarray(r["embedding"])
+                + 0.05
+                * _np.linalg.norm(r["embedding"])
+                / _np.sqrt(len(r["embedding"]))
+                * rng.standard_normal(len(r["embedding"]))
+            ],
+        )
+        for r in base
+    ]
+    corpus = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    )
+    return corpus, [int(r["vec_id"]) for r in base]
+
+
+SQL_PLANTED_GATE = """
+WITH b AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 100)
+SELECT CAST(n AS BIGINT) AS n_planted,
+       CAST(n AS BIGINT) AS n_hit,
+       CAST(0 AS BIGINT) AS n_missed
+FROM b
+"""
+
+
+def q_ivf_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the IVF ANN planted-partner contract: every original
+    must retrieve its cosine≈0.995 partner in top-5 while scanning
+    n_probe/√N of the coarse cells. Integer (n_planted, n_hit, n_missed);
+    the oracle asserts perfect planted recall (n_missed = 0)."""
+    from entity_resolution_spark.operators.similarity import ivf_ann_topk
+
+    corpus, base_ids = _planted_partner_corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < 100)
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(corpus, probes, k=5, n_probe=4)
+        .select("probe_id", "neighbor_id")
+        .collect()
+    }
+    hits = sum(1 for i in base_ids if (i, i + 1_000_000) in got)
+    return spark.createDataFrame(
+        [(len(base_ids), hits, len(base_ids) - hits)],
+        "n_planted bigint, n_hit bigint, n_missed bigint",
+    )
+
+
+def q_pq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the PQ ANN planted-partner contract: every original
+    must retrieve its partner in top-5 through the quantized ADC screen
+    while exactly reranking only the global ADC top-64. Same shape/oracle
+    as the IVF gate."""
+    from entity_resolution_spark.operators.similarity import pq_ann_topk
+
+    corpus, base_ids = _planted_partner_corpus(spark, sf_dir)
+    probes = corpus.where(F.col("vec_id") < 100)
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in pq_ann_topk(corpus, probes, k=5, m=8, k_codes=32, rerank=64)
+        .select("probe_id", "neighbor_id")
+        .collect()
+    }
+    hits = sum(1 for i in base_ids if (i, i + 1_000_000) in got)
+    return spark.createDataFrame(
+        [(len(base_ids), hits, len(base_ids) - hits)],
+        "n_planted bigint, n_hit bigint, n_missed bigint",
+    )
+
+
+def q_colour_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the colour splitter's two invariants (the properties
+    the reference's break_subgraph exists to guarantee, splitters/common.py:
+    130-178): (1) NO negative edge ends up monochromatic — its endpoints are
+    always split into different clusters; (2) every output cluster stays
+    INSIDE one positive component (recolouring refines the CC partition,
+    never merges across it). Plus the exact node count of the positive
+    graph, which the DuckDB oracle recomputes from string-token jaccard.
+    Greedy colouring itself stays rows-only (cluster ids are
+    algorithm-defined); these integers are the SQL-certifiable contract."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pos = jaccard_pairs(
+        d, "doc_id", "text", "lang", threshold=0.7, ngram=1
+    ).select("id_a", "id_b", F.col("jaccard").alias("score")).localCheckpoint(
+        eager=True
+    )
+    neg = negative_edges_numeric_distance(
+        d.select(
+            F.col("doc_id").alias("unique_id"),
+            F.array(F.col("n_chars").cast("double")).alias("v"),
+            "lang",
+        ),
+        "v", distance=200.0, block_col="lang",
+    )
+    from entity_resolution_spark.operators.coloring import (
+        colour_negative_edges_split,
+    )
+
+    labels = colour_negative_edges_split(pos, neg).localCheckpoint(eager=True)
+    comp = connected_components(pos, "id_a", "id_b").select(
+        F.col("id").alias("unique_id"), "component"
+    )
+    n_nodes = labels.count()
+    la = labels.select(
+        F.col("unique_id").alias("id_a"), F.col("cluster_id").alias("_ca")
+    )
+    lb = labels.select(
+        F.col("unique_id").alias("id_b"), F.col("cluster_id").alias("_cb")
+    )
+    n_mono = (
+        neg.select(
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+        )
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .count()
+    )
+    n_cross = (
+        labels.join(comp, "unique_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("component").alias("_nc"))
+        .where(F.col("_nc") > 1)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_nodes, n_mono, n_cross)],
+        "n_nodes bigint, n_monochromatic_neg bigint, n_clusters_crossing_components bigint",
+    )
+
+
+SQL_COLOUR_SPLIT_GATE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                   x -> x <> '')) AS tk
+  FROM documents WHERE doc_id < 1000
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.7
+), nodes AS (
+  SELECT src AS id FROM e UNION SELECT dst AS id FROM e
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST(0 AS BIGINT) AS n_monochromatic_neg,
+       CAST(0 AS BIGINT) AS n_clusters_crossing_components
+"""
+
+
+def q_acceptance_distribution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver rows for the acceptance-sampling machinery
+    (quality_metrics.py:344-365 + acceptance_metrics.py:55-74): run the REAL
+    seeded pair-sampling + weighted-P/R/F computation at sampling_rate=0.25
+    over a clustering that provably agrees with ground truth on every pair
+    (cluster partition == truth partition, certified separately by
+    er_resolve_docs_exact), so the per-run sampled-pair COUNT is closed-form
+    in SQL — Σ_blocks floor(0.25·n_block), exercising the rank/lead/rate-
+    cutoff logic exactly — and all four weighted metrics must hit 1.0
+    (asserted within 1e-9: the weighted sums sy/n + sn/n are float).
+    Disagreeing-clustering behavior stays golden-tested
+    (tests/test_distribution.py)."""
+    from entity_resolution_spark.qa.distribution import (
+        check_acceptance_distribution,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = d.select(
+        F.col("doc_id").cast("string").alias("unique_id"),
+        F.col("lang").alias("blocking_key"),
+        F.concat(F.lit("c#"), F.sha2(F.col("text"), 256)).alias("cluster_id"),
+        F.sha2(F.col("text"), 256).alias("ground_truth"),
+    )
+    out = check_acceptance_distribution(clusters, 0.25, 3)
+
+    def _ok(c):
+        return (F.abs(F.col(c) - F.lit(1.0)) < 1e-9).alias(f"{c}_ok")
+
+    return out.select(
+        "run",
+        F.col("pairs_sampled").cast("bigint").alias("pairs_sampled"),
+        _ok("accuracy"), _ok("precision"), _ok("recall"), _ok("fscore"),
+    ).orderBy("run")
+
+
+SQL_ACCEPTANCE_DISTRIBUTION_GATE = """
+WITH b AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+ps AS (
+  SELECT CAST(COALESCE(SUM(CAST(floor(n * 0.25) AS BIGINT)), 0) AS BIGINT) AS p
+  FROM b
+)
+SELECT r.range::INT AS run, ps.p AS pairs_sampled,
+       TRUE AS accuracy_ok, TRUE AS precision_ok,
+       TRUE AS recall_ok, TRUE AS fscore_ok
+FROM ps, range(3) r
+ORDER BY run
+"""
+
+
+def q_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver rows for the per-block k-means combiner's label-partition
+    contract (tfidf.py:20-78 semantics): per block — exact row count, k in
+    [1, min(max_k, n_rows)], all record ids distinct, and ZERO orphan
+    labels (every cluster_id is the min-member convention, so it must BE a
+    member id of its own block). The centroid arithmetic stays golden-tested
+    (tests/test_kmeans_spectral.py); these are the SQL-certifiable
+    invariants."""
+    out = q_kmeans_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    g = out.groupBy("blocking_key").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cluster_id").alias("_k"),
+        F.countDistinct("unique_id").alias("_nu"),
+    )
+    members = out.select(
+        "blocking_key", F.col("unique_id").cast("string").alias("cluster_id")
+    ).distinct()
+    orphans = (
+        out.select("blocking_key", "cluster_id")
+        .distinct()
+        .join(members, ["blocking_key", "cluster_id"], "left_anti")
+        .groupBy("blocking_key")
+        .agg(F.count("*").alias("_orph"))
+    )
+    return (
+        g.join(orphans, "blocking_key", "left")
+        .select(
+            "blocking_key",
+            "n_rows",
+            (
+                (F.col("_k") >= 1)
+                & (F.col("_k") <= F.least(F.lit(6), F.col("n_rows")))
+            ).alias("k_valid"),
+            (F.col("_nu") == F.col("n_rows")).alias("ids_distinct"),
+            F.coalesce(F.col("_orph"), F.lit(0)).cast("bigint").alias("n_orphans"),
+        )
+        .orderBy("blocking_key")
+    )
+
+
+SQL_KMEANS_GATE = """
+SELECT label::VARCHAR AS blocking_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS k_valid,
+       TRUE AS ids_distinct,
+       CAST(0 AS BIGINT) AS n_orphans
+FROM embeddings
+GROUP BY label
+ORDER BY blocking_key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -2583,6 +2897,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_recall_gate": q_minhash_recall_gate,
     "pq_ann_topk": q_pq_ann_topk,
     "gopher_quality_docs": q_gopher_quality_docs,
+    "lsh_ann_recall_gate": q_lsh_ann_recall_gate,
+    "ivf_ann_recall_gate": q_ivf_ann_recall_gate,
+    "pq_ann_recall_gate": q_pq_ann_recall_gate,
+    "colour_split_gate": q_colour_split_gate,
+    "acceptance_distribution_gate": q_acceptance_distribution_gate,
+    "kmeans_gate": q_kmeans_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2630,6 +2950,12 @@ ORACLES: dict[str, str] = {
     "temperature_mixture_docs": SQL_TEMPERATURE_MIXTURE_DOCS,
     "minhash_recall_gate": SQL_MINHASH_RECALL_GATE,
     "gopher_quality_docs": SQL_GOPHER_QUALITY_DOCS,
+    "lsh_ann_recall_gate": SQL_LSH_ANN_RECALL_GATE,
+    "ivf_ann_recall_gate": SQL_PLANTED_GATE,
+    "pq_ann_recall_gate": SQL_PLANTED_GATE,
+    "colour_split_gate": SQL_COLOUR_SPLIT_GATE,
+    "acceptance_distribution_gate": SQL_ACCEPTANCE_DISTRIBUTION_GATE,
+    "kmeans_gate": SQL_KMEANS_GATE,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
