@@ -17,10 +17,15 @@ Codec policy (tiers decided per row by ``meta.codec``):
    types, 8-bit gray/RGB/RGBA/gray-alpha, RGB reduced by integer BT.601
    luma). A payload that is not a well-formed supported PNG falls through
    to tier 3/4 like any other compressed codec.
+   ``jpeg`` — REAL decode with stdlib+numpy only (:func:`_decode_jpeg`:
+   baseline sequential T.81 — marker walk, Huffman entropy decode,
+   dequantize, matrix IDCT — any sampling factors, restart intervals; the
+   luma plane is the output, which is the same BT.601 domain the PNG tier
+   reduces RGB to). Progressive/arithmetic fall through to tier 3/4.
    ``wav`` — REAL decode via the stdlib ``wave`` module
    (:func:`_decode_wav`: RIFF/WAVE PCM, 8/16/32-bit widths mapped to the
    8-bit sample domain), feeding the same histogram-feature kernel.
-3. other compressed codecs (h264/opus/…) with ``decode_stub=True``
+3. the remaining compressed codecs (h264/opus) with ``decode_stub=True``
    (default) — deterministic sha-seeded fakes, clearly marked: PIL/ffmpeg
    are NOT in this container, so the fake keeps schema/batching/fan-out
    identical to a real decode while being stable across runs and partitions.
@@ -174,6 +179,261 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     ).astype(np.uint8)
 
 
+# --- Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) -----------------------
+# Zigzag order: _JPEG_ZIGZAG[i] = flat (row*8+col) position of the i-th
+# coefficient in scan order (T.81 Figure A.6).
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8-point DCT-II basis: block = T.T @ coeff @ T is the 2-D
+# type-III inverse (T.81 A.3.3 up to the orthonormal scaling convention).
+_JPEG_IDCT_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _jpeg_huff(bits, vals):
+    """(BITS counts per length 1..16, HUFFVAL) → {(length, code): symbol}
+    per T.81 Annex C code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    byte-unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map a t-bit magnitude to its signed
+    value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Minimal REAL baseline-JPEG decoder with stdlib+numpy only (no PIL):
+    marker walk (DQT/SOF0/DHT/SOS/DRI) → per-MCU Huffman decode of every
+    component (DC diff + AC run-length in zigzag order, T.81 F.2) →
+    dequantize → orthonormal matrix IDCT → the LUMA (Y) plane as (h, w)
+    uint8. Chroma blocks are entropy-decoded (the bitstream demands it) but
+    not reconstructed: the pipeline's downstream kernels are grayscale, and
+    JFIF Y already IS the BT.601 luma the PNG tier reduces RGB to — the two
+    image tiers land in the same sample domain by construction.
+
+    Supported: 8-bit sequential baseline (SOF0), any sampling factors,
+    restart intervals. Progressive (SOF2), arithmetic coding, and 12-bit
+    precision return None, falling through to the stub/plug-point tier like
+    any other unsupported codec. At 100 TB the per-row work is unchanged in
+    shape — swap an optimized codec in here; the tier's point is that the
+    real decode's schema/batching/fan-out is exercised end-to-end."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg_inner(payload)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    scan_order: list[dict] = []
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tid] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "hs": seg[7 + 3 * c] >> 4,
+                    "vs": seg[7 + 3 * c] & 0xF,
+                    "q": seg[8 + 3 * c],
+                }
+                for c in range(n)
+            ]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(cls, tid)] = _jpeg_huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"], comp["ac"] = tids >> 4, tids & 0xF
+                scan_order.append(comp)
+            scan_start = pos
+            break
+    if scan_start < 0 or not comps or not w or not h:
+        return None
+
+    # split the entropy stream into restart segments, unstuffing FF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = scan_start
+    end = len(payload)
+    while i < end:
+        b = payload[i]
+        if b == 0xFF and i + 1 < end:
+            m = payload[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            if m == 0xD9:  # EOI
+                break
+            i += 2
+            continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    max_h = max(c["hs"] for c in comps)
+    max_v = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    y_comp = comps[0]
+    yw, yh = mcus_x * 8 * y_comp["hs"], mcus_y * 8 * y_comp["vs"]
+    yplane = np.zeros((yh, yw), np.float64)
+
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                bits = _JpegBits(segments[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+            for comp in scan_order:
+                dcT = huff[(0, comp["dc"])]
+                acT = huff[(1, comp["ac"])]
+                q = qt[comp["q"]]
+                for by in range(comp["vs"]):
+                    for bx in range(comp["hs"]):
+                        coef = np.zeros(64, np.int64)
+                        t = bits.decode_symbol(dcT)
+                        diff = _jpeg_extend(bits.read_bits(t), t)
+                        pred[comp["id"]] += diff
+                        coef[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = bits.decode_symbol(acT)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            coef[k] = _jpeg_extend(bits.read_bits(s), s)
+                            k += 1
+                        if comp is not y_comp:
+                            continue  # chroma: bitstream consumed, not built
+                        dq = np.zeros(64, np.float64)
+                        dq[_JPEG_ZIGZAG] = coef * q
+                        block = (
+                            _JPEG_IDCT_T.T @ dq.reshape(8, 8) @ _JPEG_IDCT_T
+                        ) + 128.0
+                        y0 = (my * comp["vs"] + by) * 8
+                        x0 = (mx * comp["hs"] + bx) * 8
+                        yplane[y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    return np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.uint8)
+
+
 def _decode_wav(payload: bytes) -> np.ndarray | None:
     """REAL PCM WAV decode with the stdlib ``wave`` module: returns the raw
     samples mapped to uint8 (8-bit unsigned PCM as-is; 16/32-bit signed PCM
@@ -235,6 +495,11 @@ def extract_media_features(
             px = _decode_png(payload)
             if px is not None:
                 return _histogram_embedding(px, dim).tolist()
+        if codec == "jpeg":
+            # REAL stdlib+numpy baseline decode (luma plane)
+            px = _decode_jpeg(payload)
+            if px is not None:
+                return _histogram_embedding(px, dim).tolist()
         if codec == "wav":
             samples = _decode_wav(payload)
             if samples is not None and len(samples):
@@ -287,6 +552,8 @@ def resize_images(
             px = _raw8_pixels(payload, meta)
         elif codec == "png":
             px = _decode_png(payload)  # REAL stdlib decode (grayscale out)
+        elif codec == "jpeg":
+            px = _decode_jpeg(payload)  # REAL baseline decode (luma out)
         if px is not None:
             ri = _nn_index(height, px.shape[0])
             ci = _nn_index(width, px.shape[1])
