@@ -122,22 +122,92 @@ def _single_task_components(e: DataFrame) -> DataFrame:
     return e.coalesce(1).mapInPandas(kernel, schema=out_schema)
 
 
+def _partition_forest(e: DataFrame) -> DataFrame:
+    """Per-partition union-find pre-aggregation: each partition's edge
+    multiset is replaced by its spanning forest (every node → its
+    partition-local min-id root), using the same vectorized factorize +
+    min-hook + pointer-doubling kernel as the single-task path.
+
+    This is pure byte reduction ahead of any exchange or serial stage:
+    duplicate and intra-clique edges collapse NOW, in parallel, where the
+    data already sits — a k-clique inside one partition shrinks from
+    k·(k−1)/2 edges to k−1 — so the downstream consumer (the one-task
+    union-find, or the first large-star round) receives ≤ O(nodes-per-
+    partition) rows instead of O(E). Connectivity is preserved exactly
+    (union-find contraction), and because the final labels are min-ORIGINAL-
+    id per component they are invariant to which spanning edges each
+    partitioning produces (the cross-parallelism determinism tests cover
+    this). Peak kernel memory is one partition's endpoints — bounded by the
+    input split size, not the graph.
+
+    Every node survives: ids exist only as endpoints of non-self-loop
+    edges, so every partition-local component has ≥ 2 members — non-root
+    members are emitted as srcs, the root as their dst."""
+    from pyspark.sql.types import StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+
+    node_type = e.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("src", node_type), StructField("dst", node_type)]
+    )
+
+    def kernel(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        if not srcs:
+            return
+        src_v = np.concatenate(srcs)
+        dst_v = np.concatenate(dsts)
+        codes, nodes = pd.factorize(np.concatenate([src_v, dst_v]))
+        nodes = np.asarray(nodes)
+        a = codes[: len(src_v)]
+        b = codes[len(src_v):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            pa = parent[a]
+            pb = parent[b]
+            if not (pa != pb).any():
+                break
+            lo = np.minimum(pa, pb)
+            hi = np.maximum(pa, pb)
+            np.minimum.at(parent, hi, lo)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+        comp = pd.Series(nodes).groupby(parent).transform("min").to_numpy()
+        mask = nodes != comp
+        yield pd.DataFrame({"src": nodes[mask], "dst": comp[mask]})
+
+    return e.mapInPandas(kernel, schema=out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
     small_graph_edges: int = 5_000_000,
+    contract_min_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edge DataFrame → component labels ``(id, component)``.
 
     ``component`` is the min node id of the component. Nodes appear iff they appear
     in ``edges``; union isolated vertices downstream (see :func:`label_components`).
 
-    Graphs with ≤ ``small_graph_edges`` deduplicated edges take the single-task
-    union-find fast path (:func:`_single_task_components`); larger graphs run
-    the alternating-star loop, whose every round is a shuffle-bounded job —
-    the 100 TB shape. Both paths produce identical min-id labels, so the
+    Inputs above ``contract_min_edges`` raw edges first pass
+    :func:`_partition_forest` — a narrow (no exchange) per-partition
+    union-find that contracts each partition's edge multiset to its
+    spanning forest. Graphs whose (contracted) edge set has ≤
+    ``small_graph_edges`` rows take the single-task union-find fast path
+    (:func:`_single_task_components`); larger graphs run the
+    alternating-star loop, whose every round is a shuffle-bounded job — the
+    100 TB shape. All paths produce identical min-id labels, so the
     threshold only moves the physical strategy (verified by the determinism
     tests). No session configuration is touched; the loop inherits the
     session's shuffle parallelism (AQE coalesces small shuffles at runtime).
@@ -147,8 +217,7 @@ def connected_components(
     # for the eager checkpoint that seeds the loop. NO distinct() here: the
     # union-find kernel tolerates duplicate edges natively (factorize over
     # endpoints), so the raw count is a valid (upper-bound) path selector and
-    # the small path skips a whole shuffle barrier; the distributed loop
-    # dedupes below since every star round's cost scales with |E|.
+    # the small path skips a whole shuffle barrier.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
     ).persist()
@@ -157,6 +226,20 @@ def connected_components(
         out = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
         e.unpersist()
         return out
+    if n_edges > contract_min_edges:
+        # Per-partition union-find contraction (round-5 scaling work: bytes,
+        # not arguments): replace the edge multiset with its per-partition
+        # spanning forest BEFORE anything crosses an exchange or the serial
+        # kernel — duplicate and intra-clique edges (clone families are
+        # near-cliques) collapse in parallel where the data sits. Gated on
+        # raw edge count: below the threshold the extra Arrow crossing costs
+        # more than the serial ingestion it saves (measured neutral at 1.8M
+        # edges, sf0.1), above it the forest is ≤ O(nodes) rows and usually
+        # flips the graph onto the single-task path.
+        f = _partition_forest(e).persist()
+        n_edges = f.count()
+        e.unpersist()
+        e = f
     if n_edges <= small_graph_edges:
         # materialize before releasing the input cache (the labels frame is
         # consumed by several downstream joins — cut the tree here too)

@@ -104,3 +104,29 @@ def test_fast_path_matches_distributed_loop_string_ids(spark):
         for r in connected_components(edges, small_graph_edges=0).collect()
     }
     assert fast == dist == {"a": "a", "b": "a", "c": "a", "x": "m", "y": "m", "m": "m"}
+
+
+def test_partition_forest_contracts_and_preserves_labels(spark):
+    """The per-partition union-find pre-aggregation must (1) shrink a
+    partition-local clique from k(k-1)/2 edges to k-1, (2) preserve every
+    node, and (3) leave the final labels identical for EVERY partitioning
+    of the same edge multiset — including edges of one component scattered
+    across partitions so no single partition sees the whole component."""
+    from entity_resolution_spark.operators.components import _partition_forest
+
+    # clique on 20 nodes = 190 edges, all in ONE partition
+    clique = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    e1 = spark.createDataFrame(clique, "src long, dst long").coalesce(1)
+    forest = _partition_forest(e1).collect()
+    assert len(forest) == 19  # spanning forest of one 20-clique
+    assert {r["src"] for r in forest} == set(range(1, 20))
+    assert all(r["dst"] == 0 for r in forest)
+
+    # a 300-node path graph (worst case for local contraction: scattered
+    # edges chain across partitions) + duplicate edges, many partitionings
+    path = [(i, i + 1) for i in range(299)] * 3
+    want = {i: 0 for i in range(300)}
+    for parts in (1, 7, 32):
+        e = spark.createDataFrame(path, "src long, dst long").repartition(parts)
+        got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+        assert got == want, parts
