@@ -2839,6 +2839,161 @@ ORDER BY blocking_key
 """
 
 
+def _block_label_gate(out: DataFrame) -> DataFrame:
+    """Shared per-block label-partition contract used by the kmeans /
+    spectral / incremental gates: (blocking_key, n_rows, ids_distinct,
+    n_orphans) where an orphan is a cluster label that is NOT the id of a
+    member of its own block — every combiner in this family labels clusters
+    by a member id (min member or founding record), so a single orphan
+    means the labeling contract broke."""
+    g = out.groupBy("blocking_key").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("unique_id").alias("_nu"),
+    )
+    members = out.select(
+        "blocking_key", F.col("unique_id").cast("string").alias("cluster_id")
+    ).distinct()
+    orphans = (
+        out.select("blocking_key", F.col("cluster_id").cast("string").alias("cluster_id"))
+        .distinct()
+        .join(members, ["blocking_key", "cluster_id"], "left_anti")
+        .groupBy("blocking_key")
+        .agg(F.count("*").alias("_orph"))
+    )
+    return (
+        g.join(orphans, "blocking_key", "left")
+        .select(
+            "blocking_key",
+            "n_rows",
+            (F.col("_nu") == F.col("n_rows")).alias("ids_distinct"),
+            F.coalesce(F.col("_orph"), F.lit(0)).cast("bigint").alias("n_orphans"),
+        )
+        .orderBy("blocking_key")
+    )
+
+
+def q_spectral_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver rows for the spectral combiner's label-partition contract
+    (utils/spectral.py semantics): per (lang|source) block — exact row
+    count, distinct record ids, zero orphan labels (both the small-block CC
+    path and the eig path label clusters by a member id). Eigenvector
+    arithmetic stays golden-tested (tests/test_kmeans_spectral.py)."""
+    out = q_spectral_docs(spark, sf_dir)
+    return _block_label_gate(out)
+
+
+SQL_SPECTRAL_GATE = """
+SELECT lang || '|' || source AS blocking_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_distinct,
+       CAST(0 AS BIGINT) AS n_orphans
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver rows for the centroid incremental combiner's contract
+    (incremental_clustering.py:163-210): per label block — row coverage,
+    distinct ids, zero orphan labels (cluster_id is the FOUNDING record's
+    id, necessarily a block member). The walk arithmetic stays
+    golden-tested (tests/test_terms_incremental.py)."""
+    out = q_incremental_embeddings(spark, sf_dir)
+    return _block_label_gate(out)
+
+
+SQL_INCREMENTAL_GATE = """
+SELECT label::VARCHAR AS blocking_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS ids_distinct,
+       CAST(0 AS BIGINT) AS n_orphans
+FROM embeddings
+GROUP BY label
+ORDER BY blocking_key
+"""
+
+
+def q_gcn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the GCN combiner's output contract (ml.py:160-209
+    tail): exact row coverage of the docs⋈embeddings input, distinct ids,
+    zero orphan labels (cosine>th → CC → min-id, so every cluster_id is a
+    member id). The SAGE arithmetic stays golden-tested
+    (tests/test_gcn.py)."""
+    out = q_gcn_resolve_docs(spark, sf_dir).localCheckpoint(eager=True)
+    members = out.select(F.col("unique_id").cast("string").alias("_m")).distinct()
+    n_rows = out.count()
+    n_distinct = out.select("unique_id").distinct().count()
+    n_orph = (
+        out.select(F.col("cluster_id").cast("string").alias("_m"))
+        .distinct()
+        .join(members, "_m", "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_rows, bool(n_distinct == n_rows), n_orph)],
+        "n_rows bigint, ids_distinct boolean, n_orphans bigint",
+    )
+
+
+SQL_GCN_GATE = """
+SELECT CAST((SELECT count(*)
+             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             WHERE d.doc_id < 100) AS BIGINT) AS n_rows,
+       TRUE AS ids_distinct,
+       CAST(0 AS BIGINT) AS n_orphans
+"""
+
+
+def q_top_terms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the combo_basic term extractor's structural contract
+    (features/terms.py): full row coverage of the doc_id<200 slice, at most
+    n=5 terms per doc, and EVERY emitted term is a contiguous 2- or 3-token
+    n-gram of its own document (the candidate space combo_basic scores) —
+    the DuckDB oracle recomputes the n-gram sets from the text and asserts
+    zero violations. The scoring arithmetic stays golden-tested
+    (tests/test_terms_incremental.py)."""
+    from entity_resolution_spark.functions.terms import top_terms
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = top_terms(d, "text", id_col="doc_id", n=5).localCheckpoint(eager=True)
+    grams = d.select(
+        F.col("doc_id").cast("string").alias("unique_id"),
+        F.get(
+            F.transform(
+                F.array(TX.tokens(F.col("text"))),
+                lambda tk: F.array_union(TX.shingles(tk, 2), TX.shingles(tk, 3)),
+            ),
+            0,
+        ).alias("_g"),
+    )
+    j = out.join(grams, "unique_id").select(
+        F.size(F.array_except("terms", "_g")).alias("_bad"),
+        (F.size("terms") > 5).cast("int").alias("_over"),
+    )
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum("_bad"), F.lit(0)).cast("bigint").alias("n_foreign_terms"),
+        F.coalesce(F.sum("_over"), F.lit(0)).cast("bigint").alias("n_over_limit"),
+    ).collect()[0]
+    n_docs = d.count()
+    return spark.createDataFrame(
+        [(n_docs, int(agg["n_rows"]), int(agg["n_foreign_terms"]),
+          int(agg["n_over_limit"]))],
+        "n_docs bigint, n_rows bigint, n_foreign_terms bigint, n_over_limit bigint",
+    )
+
+
+SQL_TOP_TERMS_GATE = """
+WITH d AS (SELECT count(*) AS n FROM documents WHERE doc_id < 200)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_foreign_terms,
+       CAST(0 AS BIGINT) AS n_over_limit
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_nations": q_top_revenue_nations,
@@ -2903,6 +3058,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "colour_split_gate": q_colour_split_gate,
     "acceptance_distribution_gate": q_acceptance_distribution_gate,
     "kmeans_gate": q_kmeans_gate,
+    "spectral_gate": q_spectral_gate,
+    "incremental_gate": q_incremental_gate,
+    "gcn_gate": q_gcn_gate,
+    "top_terms_gate": q_top_terms_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2956,6 +3115,10 @@ ORACLES: dict[str, str] = {
     "colour_split_gate": SQL_COLOUR_SPLIT_GATE,
     "acceptance_distribution_gate": SQL_ACCEPTANCE_DISTRIBUTION_GATE,
     "kmeans_gate": SQL_KMEANS_GATE,
+    "spectral_gate": SQL_SPECTRAL_GATE,
+    "incremental_gate": SQL_INCREMENTAL_GATE,
+    "gcn_gate": SQL_GCN_GATE,
+    "top_terms_gate": SQL_TOP_TERMS_GATE,
     # minhash_near_dup / simhash_near_dup / lsh_ann_topk / er_resolve_docs:
     # hash-sketch and pipeline operators — not SQL-expressible, rows-only checks
     # (each is recall/equivalence-gated against its exact counterpart in bench.py).
