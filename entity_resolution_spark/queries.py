@@ -561,9 +561,26 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # and the full ER pipeline
 # ---------------------------------------------------------------------------
 
+def _minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized MinHash-LSH verified pair set (shingle_k=3,
+    verify_threshold=0.5) — shared by minhash_near_dup,
+    acceptance_distribution_docs and minhash_recall_gate, which previously
+    each rebuilt the identical signature + band + verify subtree. Same memo
+    contract as the jaccard family above: bench clears it per pass, so the
+    build is honestly attributed to its first consumer in each pass."""
+    key = ("minhash", spark.sparkContext.applicationId, sf_dir)
+    df = _jaccard_memo.get(key)
+    if df is None:
+        d = _t(spark, sf_dir, "documents")
+        df = minhash_lsh_dup_pairs(
+            d, shingle_k=3, verify_threshold=0.5
+        ).localCheckpoint(eager=True)
+        _jaccard_memo[key] = df
+    return df
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5).select(
+    return _minhash_pairs_docs(spark, sf_dir).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -581,9 +598,7 @@ def q_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = jaccard_pairs(
         d, "doc_id", "text", block_col=None, threshold=0.5, ngram=3
     ).select("id_a", "id_b").localCheckpoint(eager=True)
-    approx = minhash_lsh_dup_pairs(
-        d, shingle_k=3, verify_threshold=0.5
-    ).select("id_a", "id_b")
+    approx = _minhash_pairs_docs(spark, sf_dir).select("id_a", "id_b")
     n_exact = exact.count()
     n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
     return spark.createDataFrame(
@@ -1613,7 +1628,7 @@ def q_acceptance_distribution_docs(spark: SparkSession, sf_dir: str) -> DataFram
     from entity_resolution_spark.qa.distribution import check_acceptance_distribution
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dup_pairs(d, shingle_k=3, verify_threshold=0.5)
+    pairs = _minhash_pairs_docs(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b")
     gt = d.groupBy("text").agg(F.min("doc_id").alias("_gt"))
     clusters = (
