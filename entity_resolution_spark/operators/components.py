@@ -53,6 +53,41 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _unionfind_label(src_v, dst_v):
+    """Shared vectorized union-find body of the single-task and
+    partition-forest kernels: factorize endpoints (hash-based — sorting
+    dominated on string ids), Shiloach-Vishkin min-label hooking + full
+    pointer-doubling compression to a fixpoint, then relabel each root by
+    its min ORIGINAL node value. Returns (nodes, comp) aligned arrays.
+    The loop invariants are argued once here; both kernels differ only in
+    what they emit."""
+    import numpy as np
+    import pandas as pd
+
+    codes, nodes = pd.factorize(np.concatenate([src_v, dst_v]))
+    nodes = np.asarray(nodes)
+    a = codes[: len(src_v)]
+    b = codes[len(src_v):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        pa = parent[a]
+        pb = parent[b]
+        if not (pa != pb).any():
+            break
+        lo = np.minimum(pa, pb)
+        hi = np.maximum(pa, pb)
+        np.minimum.at(parent, hi, lo)
+        while True:  # full path compression via pointer doubling
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    # parent is a canonical root code per node (min CODE, first-appearance
+    # order — arbitrary); relabel by min node VALUE over the O(nodes) table
+    comp = pd.Series(nodes).groupby(parent).transform("min").to_numpy()
+    return nodes, comp
+
+
 def _single_task_components(e: DataFrame) -> DataFrame:
     """Small-graph fast path: the whole (deduplicated) edge set in ONE task,
     labeled by a vectorized numpy union-find — zero driver-synchronized rounds.
@@ -93,30 +128,7 @@ def _single_task_components(e: DataFrame) -> DataFrame:
             dsts.append(pdf["dst"].to_numpy())
         if not srcs:
             return
-        src_v = np.concatenate(srcs)
-        dst_v = np.concatenate(dsts)
-        codes, nodes = pd.factorize(np.concatenate([src_v, dst_v]))
-        nodes = np.asarray(nodes)
-        a = codes[: len(src_v)]
-        b = codes[len(src_v):]
-        parent = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            pa = parent[a]
-            pb = parent[b]
-            if not (pa != pb).any():
-                break
-            lo = np.minimum(pa, pb)
-            hi = np.maximum(pa, pb)
-            np.minimum.at(parent, hi, lo)
-            while True:  # full path compression via pointer doubling
-                pp = parent[parent]
-                if np.array_equal(pp, parent):
-                    break
-                parent = pp
-        # parent is a canonical root code per node (min CODE, which is
-        # first-appearance order — arbitrary); relabel each component by its
-        # min node VALUE over the O(nodes) table to get the contract's labels
-        comp = pd.Series(nodes).groupby(parent).transform("min").to_numpy()
+        nodes, comp = _unionfind_label(np.concatenate(srcs), np.concatenate(dsts))
         yield pd.DataFrame({"id": nodes, "component": comp})
 
     return e.coalesce(1).mapInPandas(kernel, schema=out_schema)
@@ -160,27 +172,7 @@ def _partition_forest(e: DataFrame) -> DataFrame:
             dsts.append(pdf["dst"].to_numpy())
         if not srcs:
             return
-        src_v = np.concatenate(srcs)
-        dst_v = np.concatenate(dsts)
-        codes, nodes = pd.factorize(np.concatenate([src_v, dst_v]))
-        nodes = np.asarray(nodes)
-        a = codes[: len(src_v)]
-        b = codes[len(src_v):]
-        parent = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            pa = parent[a]
-            pb = parent[b]
-            if not (pa != pb).any():
-                break
-            lo = np.minimum(pa, pb)
-            hi = np.maximum(pa, pb)
-            np.minimum.at(parent, hi, lo)
-            while True:
-                pp = parent[parent]
-                if np.array_equal(pp, parent):
-                    break
-                parent = pp
-        comp = pd.Series(nodes).groupby(parent).transform("min").to_numpy()
+        nodes, comp = _unionfind_label(np.concatenate(srcs), np.concatenate(dsts))
         mask = nodes != comp
         yield pd.DataFrame({"src": nodes[mask], "dst": comp[mask]})
 

@@ -168,9 +168,13 @@ def contamination_counts(exploded: DataFrame, ev: DataFrame, group_cols) -> Data
     if ev.where(F.col("ngram") == sent).limit(1).count() == 0:
         raise ValueError(
             "contamination_counts: eval set lacks the current kernel-version "
-            "sentinel — it was materialized under an older ngram hash kernel "
-            "and would report zero contamination; rebuild it with "
-            "eval_ngram_set()"
+            "sentinel — either it was materialized under an older ngram hash "
+            "kernel (it would silently match nothing), or it predates "
+            "sentinel rows entirely (hashes may be fine, but that cannot be "
+            "verified). Rebuild it with eval_ngram_set(); MIGRATION: every "
+            "eval set persisted before the sentinel was introduced needs one "
+            "re-materialization, after which the check distinguishes current "
+            "from stale kernels automatically."
         )
     ev = ev.where(F.col("ngram") != sent)
     return (
@@ -202,9 +206,13 @@ def decontaminate(
     side is scanned once and its text column is pruned immediately after the
     n-gram projection.
     """
+    # materialize the eval set ONCE before handing it to the counting rule:
+    # the sentinel presence check and the broadcast join would otherwise
+    # each evaluate the explode+distinct subtree over the eval corpus
     ev = F.broadcast(
         eval_ngram_set(eval_docs, text_col=text_col, n=n)
         .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     exploded = docs.select(
         F.col(id_col).alias("_id"),

@@ -33,10 +33,19 @@ def _blk_expr(block_col: str | None):
     Without this the exact path's equi-join on _blk silently dropped NULL
     blocks while the LSH path's concat_ws band key silently SKIPPED the
     NULL, bucketing all NULL-block docs with nothing separating them from
-    each other's bands — the twins disagreed (ADVICE r4)."""
+    each other's bands — the twins disagreed (ADVICE r4).
+
+    The column is cast to string BEFORE the coalesce: a numeric block_col
+    would otherwise resolve the coalesce by casting the sentinel to the
+    column type — a CAST_INVALID_INPUT crash under ANSI mode, and under
+    non-ANSI a silent NULL that reintroduces the very divergence this
+    helper exists to fix. _blk is internal (equality key only), so the
+    stringification changes no pairing semantics."""
     if not block_col:
         return F.lit("all").alias("_blk")
-    return F.coalesce(F.col(block_col), F.lit("\x00<null>")).alias("_blk")
+    return F.coalesce(
+        F.col(block_col).cast("string"), F.lit("\x00<null>")
+    ).alias("_blk")
 
 
 def exact_dup_groups(

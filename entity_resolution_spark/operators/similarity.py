@@ -681,14 +681,38 @@ def pq_ann_topk(
                     2.0 * (sub @ cb.T) - (cb**2).sum(axis=1)[None, :], axis=1
                 )
                 napprox += tab[:, codes].T  # (rows, probes)
-            # per-probe batch-local top-R by ADC score, self-pairs excluded
+            # per-probe batch-local top-R by ADC score, self-pairs excluded.
+            # Boundary ties are broken by ascending neighbor_id — the SAME
+            # order as the global-ADC window downstream. A bare argpartition
+            # keeps an ARBITRARY subset of rows tied at the rank-R value
+            # (duplicate/templated vectors produce bit-identical ADC sums),
+            # which could evict the tied row the global window defines as
+            # top-R, making the pooled set batch-boundary-dependent again.
             napprox[ids[:, None] == pb["ids"][None, :]] = -_np.inf
             r = min(pb["rerank"], len(ids))
-            top = _np.argpartition(-napprox, r - 1, axis=0)[:r]  # (R, probes)
-            ci = top.ravel(order="F")
-            pi = _np.repeat(_np.arange(len(pb["ids"])), r)
-            keep = napprox[ci, pi] > -_np.inf
-            ci, pi = ci[keep], pi[keep]
+            sel_r: list = []
+            sel_p: list = []
+            for j in range(napprox.shape[1]):
+                col = napprox[:, j]
+                if r >= len(col):
+                    idx = _np.nonzero(col > -_np.inf)[0]
+                else:
+                    kth = -_np.partition(-col, r - 1)[r - 1]
+                    if kth == -_np.inf:
+                        idx = _np.nonzero(col > -_np.inf)[0]
+                    else:
+                        gt = _np.nonzero(col > kth)[0]
+                        ties = _np.nonzero(col == kth)[0]
+                        need = r - len(gt)
+                        if need < len(ties):
+                            ties = ties[
+                                _np.argsort(ids[ties], kind="stable")[:need]
+                            ]
+                        idx = _np.concatenate([gt, ties])
+                sel_r.append(idx)
+                sel_p.append(_np.full(len(idx), j, dtype=_np.int64))
+            ci = _np.concatenate(sel_r)
+            pi = _np.concatenate(sel_p)
             if not len(ci):
                 continue
             cosine = _np.einsum("ij,ij->i", unit[ci], pb["unit"][pi])

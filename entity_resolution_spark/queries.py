@@ -2699,9 +2699,15 @@ def q_colour_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         colour_negative_edges_split,
     )
 
-    labels = colour_negative_edges_split(pos, neg).localCheckpoint(eager=True)
-    comp = connected_components(pos, "id_a", "id_b").select(
-        F.col("id").alias("unique_id"), "component"
+    # the splitter hands its internal CC labels out via the persisted list
+    # (engine convention) — recomputing connected_components over the same
+    # positive graph here would run the most expensive stage twice
+    held: list = []
+    labels = colour_negative_edges_split(
+        pos, neg, persisted=held
+    ).localCheckpoint(eager=True)
+    comp = held[0].select(
+        F.col("id").alias("unique_id"), F.col("_comp").alias("component")
     )
     n_nodes = labels.count()
     la = labels.select(
@@ -2727,6 +2733,8 @@ def q_colour_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_nc") > 1)
         .count()
     )
+    for f in held:  # release the handed-over CC labels cache
+        f.unpersist()
     return spark.createDataFrame(
         [(n_nodes, n_mono, n_cross)],
         "n_nodes bigint, n_monochromatic_neg bigint, n_clusters_crossing_components bigint",
@@ -2811,33 +2819,24 @@ def q_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_kmeans_spectral.py); these are the SQL-certifiable
     invariants."""
     out = q_kmeans_embeddings(spark, sf_dir).localCheckpoint(eager=True)
-    g = out.groupBy("blocking_key").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("cluster_id").alias("_k"),
-        F.countDistinct("unique_id").alias("_nu"),
-    )
-    members = out.select(
-        "blocking_key", F.col("unique_id").cast("string").alias("cluster_id")
-    ).distinct()
-    orphans = (
-        out.select("blocking_key", "cluster_id")
-        .distinct()
-        .join(members, ["blocking_key", "cluster_id"], "left_anti")
-        .groupBy("blocking_key")
-        .agg(F.count("*").alias("_orph"))
+    # shared contract (coverage / distinct ids / orphans) + the kmeans-only
+    # k-range column — one implementation of the member-label logic
+    ks = out.groupBy("blocking_key").agg(
+        F.countDistinct("cluster_id").alias("_k"), F.count("*").alias("_n")
     )
     return (
-        g.join(orphans, "blocking_key", "left")
-        .select(
+        _block_label_gate(out)
+        .join(
+            ks.select(
+                "blocking_key",
+                (
+                    (F.col("_k") >= 1)
+                    & (F.col("_k") <= F.least(F.lit(6), F.col("_n")))
+                ).alias("k_valid"),
+            ),
             "blocking_key",
-            "n_rows",
-            (
-                (F.col("_k") >= 1)
-                & (F.col("_k") <= F.least(F.lit(6), F.col("n_rows")))
-            ).alias("k_valid"),
-            (F.col("_nu") == F.col("n_rows")).alias("ids_distinct"),
-            F.coalesce(F.col("_orph"), F.lit(0)).cast("bigint").alias("n_orphans"),
         )
+        .select("blocking_key", "n_rows", "k_valid", "ids_distinct", "n_orphans")
         .orderBy("blocking_key")
     )
 

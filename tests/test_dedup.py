@@ -162,3 +162,37 @@ def test_null_block_semantics_agree_across_twins(spark):
     }
     assert exact == {(1, 2), (3, 4)}
     assert lsh == exact
+
+
+def test_numeric_block_col_with_nulls(spark):
+    """A numeric block column must work in both twins (the sentinel is
+    string-typed; without the pre-coalesce cast, ANSI mode crashed on
+    CAST_INVALID_INPUT for any NULL block and non-ANSI silently dropped
+    NULL blocks from the exact path again)."""
+    from entity_resolution_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", None),
+            (2, "a b c d e f g h", None),
+            (3, "a b c d e f g h", 7),
+            (4, "a b c d e f g h", 7),
+        ],
+        "doc_id long, text string, grp int",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, block_col="grp", threshold=0.5, ngram=3
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dup_pairs(
+            docs, shingle_k=3, verify_threshold=0.5, block_col="grp"
+        ).select("id_a", "id_b").collect()
+    }
+    assert exact == {(1, 2), (3, 4)} and lsh == exact

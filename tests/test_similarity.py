@@ -237,3 +237,34 @@ def test_pq_planted_partner_and_partition_invariance(spark):
     # admits ~45-row batches > rerank, changing the reranked candidate set).
     assert run(emb.repartition(2)) == got
     assert run(emb.repartition(7)) == got
+
+
+def test_pq_partition_invariance_under_adc_ties(spark):
+    """Duplicate vectors produce bit-identical ADC sums; batch-local top-R
+    selection must break boundary ties by neighbor_id (the global window's
+    order), or the pooled candidate set — and thus top-k — depends on how
+    the corpus was partitioned."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.similarity import pq_ann_topk
+
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(16)
+    w = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v]) for i in range(40)]          # 40-way tie
+    rows += [(100 + i, [float(x) for x in w]) for i in range(10)]
+    rows += [(900, [float(x) for x in rng.standard_normal(16)])]    # probe
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where("vec_id = 900")
+
+    def run(df):
+        return sorted(
+            (r["probe_id"], r["rank"], r["neighbor_id"])
+            for r in pq_ann_topk(
+                df, probes, k=5, m=4, k_codes=8, rerank=8
+            ).collect()
+        )
+
+    got = run(emb.coalesce(1))
+    assert run(emb.repartition(3)) == got
+    assert run(emb.repartition(11)) == got
