@@ -404,3 +404,81 @@ def stream_decontaminate(
         "is_contaminated",
         F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
     )
+
+
+def explode_doc_lines(
+    docs: DataFrame, text_col: str = "content", id_col: str = "unique_id"
+) -> DataFrame:
+    """(id, text[, event_time]) → (doc_id, pos, line) rows, one per
+    non-empty TRIMMED line (the same line rule as
+    ``operators.cleaning.corpus_line_dedup``: whitespace-only lines always
+    drop; the ORIGINAL untrimmed line is carried for reassembly).
+    Stateless projection — works identically on a stream or a batch frame."""
+    keep = [c for c in docs.columns if c == "event_time"]
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), "\n")
+            ).alias("pos", "line"),
+            *keep,
+        )
+        .where(F.trim("line") != "")
+    )
+
+
+def stream_line_dedup(lines_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.cleaning.corpus_line_dedup``'s
+    keep-first rule (min_count=2): the ingest-time corpus-wide line-dedup
+    gate — a line (by trimmed 64-bit hash, the engine's surrogate class) is
+    emitted at its FIRST appearance and suppressed at every later one,
+    across micro-batches.
+
+    Equivalence contract: the batch operator keeps a duplicated line's
+    minimum-(id, pos) occurrence; this gate keeps the first ARRIVAL —
+    identical outputs whenever the stream replays the corpus in (id, pos)
+    order (each micro-batch may be internally unordered: the group sorts by
+    (doc_id, pos) before deciding) — the batch-parity test replays exactly
+    that way. ``min_count > 2`` has no online analog (it needs future
+    occurrence counts) and stays batch-only.
+
+    State: one empty-valued entry per distinct line hash, NoTimeout — the
+    dedup horizon is the stream's lifetime, like the batch rule's
+    corpus-wide census. Production streams that want bounded state trade
+    horizon for memory with a state timeout (re-admitting a line after
+    eviction), the same trade ``dropDuplicatesWithinWatermark`` makes.
+
+    Input: the :func:`explode_doc_lines` shape. Output (append): the kept
+    (doc_id, pos, line) rows; downstream reassembly is the batch
+    ``array_join(collect, '\\n')`` over (doc_id, pos) — stateless relative
+    to this gate."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("line", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.IntegerType())])
+
+    def gate(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        if state.exists:
+            return
+        first = rows.sort_values(["doc_id", "pos"], kind="mergesort").iloc[[0]]
+        state.update((1,))
+        yield first[["doc_id", "pos", "line"]]
+
+    keyed = lines_stream.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "line",
+        F.xxhash64(F.trim("line")).alias("_k"),
+    )
+    return keyed.groupBy("_k").applyInPandasWithState(
+        gate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

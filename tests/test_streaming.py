@@ -451,3 +451,52 @@ def test_stream_decontaminate_append_mode_emits_after_watermark(spark, tmp_path)
     assert set(rows) == {1}  # doc 2's window is still open
     assert (rows[1]["total_ngrams"], rows[1]["contaminated_ngrams"],
             rows[1]["is_contaminated"]) == (3, 1, True)
+
+
+def test_stream_line_dedup_batch_parity(spark, tmp_path):
+    """The streaming first-arrival line gate must reproduce the batch
+    corpus_line_dedup keep set exactly when the corpus is replayed in
+    (id, pos) order: kept lines reassembled per doc == batch clean_text."""
+    from entity_resolution_spark.operators.cleaning import corpus_line_dedup
+    from entity_resolution_spark.streaming.incremental import (
+        explode_doc_lines,
+        stream_line_dedup,
+    )
+
+    docs = [
+        (1, "shared header\nunique a\nshared footer"),
+        (2, "shared header\nunique b\n   \nshared footer"),
+        (3, "unique c\nshared header"),
+        (4, "unique a"),  # dup of doc 1's middle line, later id
+    ]
+    bdf = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus_line_dedup(bdf, min_count=2, keep_first=True).collect()
+    }
+
+    src = str(tmp_path / "lines_src")
+    explode_doc_lines(
+        bdf.withColumn("event_time", F.current_timestamp()),
+        text_col="text",
+        id_col="doc_id",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, pos int, line string, event_time timestamp"
+    ).parquet(src)
+    kept = stream_line_dedup(stream)
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("line_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_rows = spark.sql("SELECT * FROM line_dedup_out").collect()
+    got: dict = {}
+    for r in sorted(got_rows, key=lambda r: (int(r["doc_id"]), r["pos"])):
+        got.setdefault(int(r["doc_id"]), []).append(r["line"])
+    got_text = {k: "\n".join(v) for k, v in got.items()}
+    for doc_id, clean in want.items():
+        assert got_text.get(doc_id) == clean, (doc_id, got_text.get(doc_id), clean)
